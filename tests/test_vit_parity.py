@@ -1,0 +1,143 @@
+"""Bit-match the from-scratch JAX ViT against the torch/HF reference.
+
+The reference's substrate is HF transformers ViT (himanshu/model_utils.py:2);
+BASELINE.json requires bit-matching logits. We instantiate a small random HF
+ViTForImageClassification on CPU, convert its weights, and compare logits.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from transformers import ViTConfig as HFViTConfig
+from transformers import ViTForImageClassification
+
+from vit_pruning_tpu.configs import ViTConfig
+from vit_pruning_tpu.models.convert import torch_state_dict_to_params, strip_prefix
+from vit_pruning_tpu.models.vit import vit_forward, init_vit_params, param_count
+
+
+def make_hf_model(seed=0, **kw):
+    cfg = dict(
+        image_size=32,
+        patch_size=8,
+        num_channels=3,
+        hidden_size=64,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        intermediate_size=128,
+        num_labels=10,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    cfg.update(kw)
+    torch.manual_seed(seed)
+    # eager attention: transformers 4.49 (the reference's pin) falls back to
+    # eager whenever head_mask is given; 4.57's SDPA path misapplies
+    # head_mask as an additive bias, so pin the well-defined semantics.
+    model = ViTForImageClassification(HFViTConfig(**cfg, attn_implementation="eager"))
+    model.eval()
+    return model
+
+
+def our_config(hf):
+    c = hf.config
+    return ViTConfig(
+        image_size=c.image_size,
+        patch_size=c.patch_size,
+        num_channels=c.num_channels,
+        hidden_size=c.hidden_size,
+        num_layers=c.num_hidden_layers,
+        num_heads=c.num_attention_heads,
+        mlp_dim=c.intermediate_size,
+        num_labels=c.num_labels,
+        layernorm_eps=c.layer_norm_eps,
+    )
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    return make_hf_model()
+
+
+def test_logits_match_hf(hf_model):
+    config = our_config(hf_model)
+    params = torch_state_dict_to_params(hf_model.state_dict(), config)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 3, 32, 32).astype(np.float32)
+
+    with torch.no_grad():
+        ref = hf_model(pixel_values=torch.from_numpy(x)).logits.numpy()
+
+    out = jax.jit(lambda p, v: vit_forward(p, v, config))(params, jnp.asarray(x))
+    got = np.asarray(out["logits"])
+
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_hidden_states_match_hf(hf_model):
+    config = our_config(hf_model)
+    params = torch_state_dict_to_params(hf_model.state_dict(), config)
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 3, 32, 32).astype(np.float32)
+
+    with torch.no_grad():
+        ref = hf_model.vit(
+            pixel_values=torch.from_numpy(x), output_hidden_states=True
+        ).hidden_states
+
+    out = vit_forward(params, jnp.asarray(x), config, output_hidden_states=True)
+    assert len(out["hidden_states"]) == len(ref)
+    for i, (got_h, ref_h) in enumerate(zip(out["hidden_states"], ref)):
+        np.testing.assert_allclose(
+            np.asarray(got_h), ref_h.numpy(), atol=5e-5, rtol=1e-4,
+            err_msg=f"hidden state {i} mismatch",
+        )
+
+
+def test_vit_prefix_surgery(hf_model):
+    """hi_main.py:130-137 strips the 'vit.' prefix before loading."""
+    sd = hf_model.state_dict()
+    assert any(k.startswith("vit.") for k in sd)
+    stripped = strip_prefix(sd)
+    assert any(k.startswith("encoder.layer.0") for k in stripped)
+    assert "classifier.weight" in stripped  # untouched
+
+
+def test_head_mask_matches_hf(hf_model):
+    """HF head_mask semantics: 1.0 = keep head (model_utils.py:216-220)."""
+    config = our_config(hf_model)
+    params = torch_state_dict_to_params(hf_model.state_dict(), config)
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 3, 32, 32).astype(np.float32)
+    L, H = config.num_layers, config.num_heads
+    hm = (np.arange(L * H).reshape(L, H) % 2).astype(np.float32)
+
+    with torch.no_grad():
+        ref = hf_model(
+            pixel_values=torch.from_numpy(x), head_mask=torch.from_numpy(hm)
+        ).logits.numpy()
+
+    out = vit_forward(params, jnp.asarray(x), config, head_mask=jnp.asarray(hm))
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref, atol=2e-5, rtol=1e-5)
+
+
+def test_random_init_runs():
+    config = ViTConfig(
+        image_size=32, patch_size=8, hidden_size=64, num_layers=2,
+        num_heads=4, mlp_dim=128, num_labels=10,
+    )
+    params = init_vit_params(jax.random.PRNGKey(0), config)
+    assert param_count(params) > 0
+    x = jnp.zeros((2, 3, 32, 32))
+    out = vit_forward(params, x, config)
+    assert out["logits"].shape == (2, 10)
+    assert np.isfinite(np.asarray(out["logits"])).all()

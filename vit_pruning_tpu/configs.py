@@ -1,0 +1,194 @@
+"""Typed configuration for models, pruning, and runs.
+
+The reference keeps configuration as constants in the driver file
+(himanshu/hi_main.py:88-108) plus a module-name string that selects the model
+variant (hi_main.py:17-19). Here the variant *is* a config value
+(`PruneConfig.predictor` / `PruneConfig.mode`), and configs are frozen
+hashable dataclasses so they can be passed as static args under `jax.jit`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """Architecture of a ViT/DeiT image classifier.
+
+    Numerically matches HuggingFace `ViTModel` + a linear classifier on the
+    CLS token (the reference's ModifiedViTModel, himanshu/model_utils.py:183-259):
+    pre-LN blocks, erf-exact GELU, layernorm eps 1e-12.
+    """
+
+    image_size: int = 224
+    patch_size: int = 16
+    num_channels: int = 3
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    num_labels: int = 1000
+    layernorm_eps: float = 1e-12
+    # qkv_bias matches HF ViT default (qkv_bias=True)
+    qkv_bias: bool = True
+    # dtype for activations on TPU; params are kept in float32 master copy
+    dtype: str = "float32"
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1  # + CLS
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def patch_dim(self) -> int:
+        return self.num_channels * self.patch_size * self.patch_size
+
+    def replace(self, **kw) -> "ViTConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "ViTConfig":
+        return ViTConfig(**json.loads(s))
+
+
+# --- Model presets -------------------------------------------------------
+# DeiT-T/S/B are the same architecture family at smaller widths (the
+# reference's "deit.py" loads the ViT CIFAR-100 checkpoint, mukunda/deit.py:693-700).
+
+def vit_base_patch16_224(num_labels: int = 1000) -> ViTConfig:
+    return ViTConfig(num_labels=num_labels)
+
+
+def deit_tiny(num_labels: int = 1000) -> ViTConfig:
+    return ViTConfig(hidden_size=192, num_heads=3, mlp_dim=768, num_labels=num_labels)
+
+
+def deit_small(num_labels: int = 1000) -> ViTConfig:
+    return ViTConfig(hidden_size=384, num_heads=6, mlp_dim=1536, num_labels=num_labels)
+
+
+def deit_base(num_labels: int = 1000) -> ViTConfig:
+    return ViTConfig(num_labels=num_labels)
+
+
+def vit_tiny(num_labels: int = 10) -> ViTConfig:
+    """A tiny CPU-testable config (not a published model)."""
+    return ViTConfig(
+        image_size=32,
+        patch_size=8,
+        hidden_size=64,
+        num_layers=3,
+        num_heads=4,
+        mlp_dim=128,
+        num_labels=num_labels,
+    )
+
+
+# --- Pruning configuration ------------------------------------------------
+
+PRUNE_MODES = (
+    "none",      # dense forward, no pruning (reference mlp_needed=False)
+    "mask",      # threshold mask on predictor scores; masked attention
+                 #   (reference M1/M2 semantics, himanshu/model_utils.py:62-91)
+    "topk",      # fixed top-k gather-compaction (M7, pradeep/using_attention.py:136-152)
+    "oracle",    # ground-truth masking from the similarity oracle itself
+                 #   (M3/M11 upper-bound experiments)
+    "random",    # random per-layer token pruning baseline
+                 #   (M14, pradeep/old codes/random_pruning.py:22-69)
+)
+
+PREDICTOR_KINDS = (
+    "cls_mlp",       # MLP([CLS ⊕ token]) -> sigmoid score       (M1/M2, cls_mlp.py:45-54)
+    "token_mlp",     # MLP(token) -> sigmoid score, no CLS concat (M12, pradeep/final.py:36-45)
+    "common_mlp",    # one token MLP shared across all layers     (M6, common_mlp_model_utils.py:76-87)
+    "compressor",    # per-token 768->16 compressor + flat MLP over all tokens (M4, all_in_one_model_utils.py:14-51)
+    "shared_compressor",  # M5: one compressor shared across layers
+    "cnn",           # token->16ch, reshape to 14x14 grid, conv scorer (M16, recap/convprad3.py:507-557)
+    "bottleneck",    # MLP [D,32,D,32,1]; middle activation approximates the
+                     #   layer output for skipped tokens (M17, recap/prad_final_code.py:146-245)
+    "none",          # no learned predictor (oracle / random / heuristic modes)
+)
+
+LOSS_KINDS = (
+    "bce_oracle",    # class-balanced BCEWithLogits vs oracle labels (M2, model_utils.py:103-108)
+    "mse_cosine",    # MSE(score, 1 - similarity)                    (M1, cls_mlp.py:91-96)
+    "mse_attention", # MSE(score, mean CLS->patch attention)         (M7, using_attention.py:209-220)
+    "focal",         # focal-weighted BCE, gamma=2                   (M12, pradeep/final.py:79-86)
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PruneConfig:
+    """How tokens are scored, selected, and skipped at each layer.
+
+    Mirrors the reference's (sim_threshold, mlp_threshold, avg_threshold,
+    top_k) hyperparameters (himanshu/hi_main.py:99-101,
+    pradeep/using_attention.py:97 `top_k=150`).
+    """
+
+    mode: str = "mask"
+    predictor: str = "cls_mlp"
+    loss: str = "bce_oracle"
+    # similarity oracle threshold: tokens with similarity >= sim_threshold
+    # "would not change much" and should be skipped
+    sim_threshold: float = 0.9
+    # predictor score threshold for the boolean keep-mask
+    mlp_threshold: float = 0.5
+    # neighbor-averaging mixing weight for previously-skipped tokens
+    # (0 disables; himanshu/model_utils.py:47-51)
+    avg_threshold: float = 0.0
+    # number of patch tokens kept in topk mode (CLS kept in addition)
+    top_k: int = 150
+    # oracle mixing weight: alpha*cos + (1-alpha)*dist (model_utils.py:100)
+    oracle_alpha: float = 0.3
+    # predictor hidden width (layer_sizes = [in, hidden, 1], model_utils.py:28)
+    predictor_hidden: int = 64
+    # which layers get a predictor; None = all (mlp_needed_arr, model_utils.py:126-131)
+    active_layers: Optional[Tuple[int, ...]] = None
+    # per-layer token-keep budgets for mode="random" (None = use top_k for all)
+    random_keep: Optional[Tuple[int, ...]] = None
+    # focal loss parameters (main_model_utils.py:15-38)
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+
+    def replace(self, **kw) -> "PruneConfig":
+        return dataclasses.replace(self, **kw)
+
+    def __post_init__(self):
+        if self.mode not in PRUNE_MODES:
+            raise ValueError(f"mode {self.mode!r} not in {PRUNE_MODES}")
+        if self.predictor not in PREDICTOR_KINDS:
+            raise ValueError(f"predictor {self.predictor!r} not in {PREDICTOR_KINDS}")
+        if self.loss not in LOSS_KINDS:
+            raise ValueError(f"loss {self.loss!r} not in {LOSS_KINDS}")
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "PruneConfig":
+        d = json.loads(s)
+        for k in ("active_layers", "random_keep"):
+            if d.get(k) is not None:
+                d[k] = tuple(d[k])
+        return PruneConfig(**d)
+
+
+DENSE = PruneConfig(mode="none", predictor="none", loss="bce_oracle")

@@ -1,0 +1,194 @@
+"""From-scratch ViT/DeiT forward pass in JAX (functional, pytree params).
+
+Numerically equivalent to the reference's substrate — HuggingFace
+`transformers` ViT (pre-LN blocks, erf-exact GELU, layernorm eps 1e-12,
+learned position embeddings, CLS token) with a linear classifier on the CLS
+token after the final layernorm (ModifiedViTModel, himanshu/model_utils.py:183-259).
+
+Params are plain nested dicts of jnp arrays so they serialize trivially,
+convert cleanly from torch state_dicts, and take `jax.sharding` annotations
+without framework ceremony.
+
+Param tree:
+  {
+    'embed': {'patch': {'w' [C*P*P, D], 'b' [D]},
+              'cls' [1, 1, D], 'pos' [1, S, D]},
+    'layers': [ {  # one per encoder layer, stacked along axis 0
+        'ln1': {'g', 'b'}, 'attn': {'q','k','v','o': {'w','b'}},
+        'ln2': {'g', 'b'}, 'mlp': {'fc1': {'w','b'}, 'fc2': {'w','b'}},
+    } ],   # stored stacked: each leaf has a leading [L] axis (lax.scan-ready)
+    'ln_f': {'g', 'b'},
+    'head': {'w' [D, num_labels], 'b'},
+  }
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vit_pruning_tpu.configs import ViTConfig
+from vit_pruning_tpu.ops.attention import mha
+from vit_pruning_tpu.ops.patch_embed import patch_embed
+
+
+# --- Primitive blocks -------------------------------------------------------
+
+def layer_norm(x: jnp.ndarray, params: dict, eps: float) -> jnp.ndarray:
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * params["g"] + params["b"]
+
+
+def mlp_block(x: jnp.ndarray, params: dict) -> jnp.ndarray:
+    """HF ViTIntermediate + ViTOutput: Linear -> GELU(erf) -> Linear."""
+    h = x @ params["fc1"]["w"] + params["fc1"]["b"]
+    h = jax.nn.gelu(h, approximate=False)
+    return h @ params["fc2"]["w"] + params["fc2"]["b"]
+
+
+def vit_layer(
+    x: jnp.ndarray,
+    params: dict,
+    config: ViTConfig,
+    token_mask: Optional[jnp.ndarray] = None,
+    head_mask: Optional[jnp.ndarray] = None,
+    return_probs: bool = False,
+):
+    """One pre-LN transformer block (HF ViTLayer ordering).
+
+    token_mask [B, S] bool restricts attention keys/values to kept tokens —
+    the static-shape equivalent of running the layer on the gathered subset
+    (himanshu/model_utils.py:91). Outputs at masked positions are computed
+    but meaningless; callers overwrite them with the residual passthrough.
+    """
+    h = layer_norm(x, params["ln1"], config.layernorm_eps)
+    attn = mha(
+        h,
+        params["attn"],
+        config.num_heads,
+        token_mask=token_mask,
+        head_mask=head_mask,
+        return_probs=return_probs,
+    )
+    if return_probs:
+        attn, probs = attn
+    x = x + attn
+    h = layer_norm(x, params["ln2"], config.layernorm_eps)
+    x = x + mlp_block(h, params["mlp"])
+    if return_probs:
+        return x, probs
+    return x
+
+
+def embed(pixel_values: jnp.ndarray, params: dict, config: ViTConfig) -> jnp.ndarray:
+    """Patch projection + CLS token + position embeddings -> [B, S, D]."""
+    b, c, h, w = pixel_values.shape
+    if (c, h, w) != (config.num_channels, config.image_size, config.image_size):
+        raise ValueError(
+            f"pixel_values {pixel_values.shape} does not match config "
+            f"(expected [B, {config.num_channels}, {config.image_size}, {config.image_size}])"
+        )
+    x = patch_embed(pixel_values, params["patch"], config.patch_size)
+    cls = jnp.broadcast_to(params["cls"], (x.shape[0], 1, config.hidden_size)).astype(x.dtype)
+    x = jnp.concatenate([cls, x], axis=1)
+    return x + params["pos"].astype(x.dtype)
+
+
+# --- Full model --------------------------------------------------------------
+
+def _layer_slice(layers: dict, i: int) -> dict:
+    return jax.tree.map(lambda a: a[i], layers)
+
+
+def vit_forward(
+    params: dict,
+    pixel_values: jnp.ndarray,
+    config: ViTConfig,
+    head_mask: Optional[jnp.ndarray] = None,
+    output_hidden_states: bool = False,
+):
+    """Dense forward. Returns dict(logits, cls, last_hidden[, hidden_states]).
+
+    head_mask: [L, H] float or None (HF get_head_mask semantics,
+    himanshu/model_utils.py:220).
+    """
+    x = embed(pixel_values, params["embed"], config)
+
+    hidden_states = [x] if output_hidden_states else None
+    if output_hidden_states or head_mask is not None:
+        # python loop (still one compiled program; L is static)
+        for i in range(config.num_layers):
+            hm = head_mask[i] if head_mask is not None else None
+            x = vit_layer(x, _layer_slice(params["layers"], i), config, head_mask=hm)
+            if output_hidden_states:
+                hidden_states.append(x)
+    else:
+        def body(carry, layer_params):
+            return vit_layer(carry, layer_params, config), None
+
+        x, _ = jax.lax.scan(body, x, params["layers"])
+
+    x = layer_norm(x, params["ln_f"], config.layernorm_eps)
+    cls = x[:, 0]
+    logits = cls @ params["head"]["w"] + params["head"]["b"]
+    out = {"logits": logits, "cls": cls, "last_hidden": x}
+    if output_hidden_states:
+        out["hidden_states"] = hidden_states
+    return out
+
+
+# --- Initialization -----------------------------------------------------------
+
+def _linear_init(key, fan_in: int, fan_out: int, std: float = 0.02) -> dict:
+    kw, _ = jax.random.split(key)
+    return {
+        "w": jax.random.truncated_normal(kw, -2.0, 2.0, (fan_in, fan_out)) * std,
+        "b": jnp.zeros((fan_out,)),
+    }
+
+
+def init_vit_params(key: jax.Array, config: ViTConfig) -> dict:
+    """Random init matching HF ViT defaults (trunc-normal 0.02, zeros bias)."""
+    d = config.hidden_size
+    keys = jax.random.split(key, 8)
+
+    def layer_init(k):
+        ks = jax.random.split(k, 6)
+        return {
+            "ln1": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+            "attn": {
+                "q": _linear_init(ks[0], d, d),
+                "k": _linear_init(ks[1], d, d),
+                "v": _linear_init(ks[2], d, d),
+                "o": _linear_init(ks[3], d, d),
+            },
+            "ln2": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+            "mlp": {
+                "fc1": _linear_init(ks[4], d, config.mlp_dim),
+                "fc2": _linear_init(ks[5], config.mlp_dim, d),
+            },
+        }
+
+    layer_keys = jax.random.split(keys[0], config.num_layers)
+    per_layer = [layer_init(k) for k in layer_keys]
+    layers = jax.tree.map(lambda *a: jnp.stack(a), *per_layer)
+
+    return {
+        "embed": {
+            "patch": _linear_init(keys[1], config.patch_dim, d),
+            "cls": jax.random.truncated_normal(keys[2], -2.0, 2.0, (1, 1, d)) * 0.02,
+            "pos": jax.random.truncated_normal(keys[3], -2.0, 2.0, (1, config.seq_len, d))
+            * 0.02,
+        },
+        "layers": layers,
+        "ln_f": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+        "head": _linear_init(keys[4], d, config.num_labels),
+    }
+
+
+def param_count(params: dict) -> int:
+    return sum(int(a.size) for a in jax.tree.leaves(params))
