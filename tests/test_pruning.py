@@ -1,0 +1,225 @@
+"""Pruning-op semantics: mask-mode and top-k compaction must match the
+reference's ragged per-image gather (himanshu/model_utils.py:88-91), CLS must
+never be skipped, the oracle must match the reference formula, and confusion
+counts must match sklearn.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vit_pruning_tpu.configs import PruneConfig, ViTConfig, vit_tiny
+from vit_pruning_tpu.models.pruned_vit import (
+    init_pruned_vit_params,
+    pruned_vit_forward,
+    skip_ratio,
+)
+from vit_pruning_tpu.models.vit import init_vit_params, vit_layer
+from vit_pruning_tpu.ops.masking import (
+    add_cls_keep,
+    compact_indices,
+    confusion_counts,
+    gather_compact,
+    neighbor_average,
+    neighbor_index_table,
+    scatter_back,
+    similarity_oracle,
+    topk_keep_mask,
+)
+
+CFG = vit_tiny()
+
+
+def _layer0(params):
+    return jax.tree.map(lambda a: a[0], params["layers"])
+
+
+def ragged_reference(x, layer_params, keep_mask, config):
+    """The reference semantics: per image, run the layer on ONLY the kept
+    tokens, scatter outputs back, leave skipped tokens untouched."""
+    out = np.array(x)
+    for i in range(x.shape[0]):
+        idx = np.where(np.array(keep_mask[i]))[0]
+        sub = jnp.asarray(np.array(x[i])[idx])[None]
+        y = vit_layer(sub, layer_params, config)
+        out[i, idx] = np.asarray(y[0])
+    return out
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    params = init_vit_params(key, CFG)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, CFG.seq_len, CFG.hidden_size))
+    return params, x
+
+
+def test_mask_mode_matches_ragged_gather(setup):
+    params, x = setup
+    lp = _layer0(params)
+    rng = np.random.RandomState(0)
+    keep = rng.rand(3, CFG.num_patches) > 0.4
+    mask = np.asarray(add_cls_keep(jnp.asarray(keep)))
+
+    ref = ragged_reference(x, lp, mask, CFG)
+
+    y = vit_layer(x, lp, CFG, token_mask=jnp.asarray(mask))
+    got = np.where(mask[..., None], np.asarray(y), np.asarray(x))
+
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_topk_compaction_matches_ragged_gather(setup):
+    params, x = setup
+    lp = _layer0(params)
+    k = 7
+    scores = jax.random.uniform(jax.random.PRNGKey(2), (3, CFG.num_patches))
+    keep, _ = topk_keep_mask(scores, k)
+    mask = add_cls_keep(keep)
+
+    ref = ragged_reference(x, lp, np.asarray(mask), CFG)
+
+    cidx = compact_indices(mask, k + 1)
+    xc = gather_compact(x, cidx)
+    yc = vit_layer(xc, lp, CFG)
+    got = np.asarray(scatter_back(x, cidx, yc))
+
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_compact_indices_cls_first(setup):
+    scores = jax.random.uniform(jax.random.PRNGKey(3), (4, CFG.num_patches))
+    keep, _ = topk_keep_mask(scores, 5)
+    mask = add_cls_keep(keep)
+    cidx = np.asarray(compact_indices(mask, 6))
+    assert (cidx[:, 0] == 0).all()  # CLS first
+    assert (np.diff(cidx, axis=1) > 0).all()  # ascending (stable order)
+
+
+def test_similarity_oracle_matches_torch_formula():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(0)
+    x_in = rng.randn(2, 9, 16).astype(np.float32)
+    x_out = rng.randn(2, 9, 16).astype(np.float32)
+
+    ti, to = torch.from_numpy(x_in), torch.from_numpy(x_out)
+    cos = (F.cosine_similarity(to, ti, dim=-1) + 1) / 2
+    eucl = torch.sum((to - ti) ** 2, dim=-1) / torch.sum(to**2, dim=-1)
+    ref = 0.3 * cos + 0.7 * (1 / (1 + eucl))
+
+    got = similarity_oracle(jnp.asarray(x_in), jnp.asarray(x_out), alpha=0.3)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-6)
+
+
+def test_confusion_matches_sklearn():
+    sklearn_metrics = pytest.importorskip("sklearn.metrics")
+    rng = np.random.RandomState(0)
+    t = rng.rand(500) > 0.3
+    p = rng.rand(500) > 0.5
+    ref = sklearn_metrics.confusion_matrix(t.astype(int), p.astype(int), labels=[0, 1])
+    got = np.asarray(confusion_counts(jnp.asarray(t), jnp.asarray(p)))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_neighbor_average_center_cell():
+    g = 4
+    idx = neighbor_index_table(g)
+    patches = jnp.arange(g * g, dtype=jnp.float32)[None, :, None]  # value = index
+    out = neighbor_average(patches, jnp.asarray(idx), weight=1.0)
+    # interior cell 5 (row 1, col 1): neighbors 0,1,2,4,6,8,9,10 -> mean 5.0
+    assert np.isclose(np.asarray(out)[0, 5, 0], 5.0)
+    # with source_mask excluding everything, token keeps its own value
+    none = jnp.zeros((1, g * g), dtype=bool)
+    out2 = neighbor_average(patches, jnp.asarray(idx), weight=1.0, source_mask=none)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(patches))
+
+
+@pytest.mark.parametrize("mode,predictor,loss", [
+    ("mask", "cls_mlp", "bce_oracle"),
+    ("mask", "token_mlp", "focal"),
+    ("mask", "common_mlp", "mse_cosine"),
+    ("mask", "compressor", "bce_oracle"),
+    ("mask", "shared_compressor", "bce_oracle"),
+    ("mask", "cnn", "bce_oracle"),
+    ("mask", "bottleneck", "bce_oracle"),
+    ("topk", "cls_mlp", "mse_attention"),
+    ("oracle", "none", "bce_oracle"),
+    ("random", "none", "bce_oracle"),
+])
+def test_pruned_forward_all_variants(mode, predictor, loss):
+    pcfg = PruneConfig(mode=mode, predictor=predictor, loss=loss, top_k=6,
+                       avg_threshold=0.1 if predictor == "cls_mlp" else 0.0)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, CFG.image_size, CFG.image_size))
+
+    out = pruned_vit_forward(
+        params, x, CFG, pcfg, train=True, rng=jax.random.PRNGKey(2)
+    )
+    L, B, S = CFG.num_layers, 2, CFG.seq_len
+    assert out["logits"].shape == (B, CFG.num_labels)
+    assert out["keep_masks"].shape == (L, B, S)
+    assert out["scores"].shape == (L, B, S - 1)
+    assert out["aux"]["pred_loss"].shape == (L,)
+    assert out["aux"]["confusion"].shape == (L, 2, 2)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+    assert np.isfinite(np.asarray(out["aux"]["pred_loss"])).all()
+    # CLS is never skipped
+    assert np.asarray(out["keep_masks"])[:, :, 0].all()
+    sr = np.asarray(skip_ratio(out["keep_masks"]))
+    assert sr.shape == (L,) and (sr >= 0).all() and (sr <= 1).all()
+
+
+def test_topk_budget_exact():
+    pcfg = PruneConfig(mode="topk", predictor="cls_mlp", loss="mse_attention", top_k=6)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, CFG.image_size, CFG.image_size))
+    out = pruned_vit_forward(params, x, CFG, pcfg)
+    kept = np.asarray(out["keep_masks"]).sum(-1)
+    assert (kept == 7).all()  # top_k patches + CLS, every layer, every image
+
+
+def test_inactive_layers_stay_dense():
+    pcfg = PruneConfig(mode="mask", predictor="cls_mlp", active_layers=(1,))
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, CFG.image_size, CFG.image_size))
+    out = pruned_vit_forward(params, x, CFG, pcfg)
+    masks = np.asarray(out["keep_masks"])
+    assert masks[0].all() and masks[2].all()  # inactive layers keep everything
+
+
+def test_forward_is_jittable():
+    pcfg = PruneConfig(mode="topk", predictor="cls_mlp", loss="mse_attention", top_k=6)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, CFG.image_size, CFG.image_size))
+
+    fwd = jax.jit(
+        lambda p, v: pruned_vit_forward(p, v, CFG, pcfg, train=True),
+    )
+    out = fwd(params, x)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+def test_losses_match_torch():
+    torch = pytest.importorskip("torch")
+    from vit_pruning_tpu.train.losses import weighted_bce_oracle, cross_entropy
+
+    rng = np.random.RandomState(0)
+    scores = rng.rand(4, 9).astype(np.float32)
+    labels = (rng.rand(4, 9) > 0.4)
+
+    fa = labels.mean()
+    ref = torch.nn.BCEWithLogitsLoss(
+        pos_weight=torch.tensor([fa / (1 - fa + 1e-16)], dtype=torch.float32)
+    )(torch.from_numpy(scores), torch.from_numpy(labels.astype(np.float32)))
+    got = weighted_bce_oracle(jnp.asarray(scores), jnp.asarray(labels))
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+    logits = rng.randn(8, 10).astype(np.float32)
+    y = rng.randint(0, 10, 8)
+    ref_ce = torch.nn.CrossEntropyLoss()(torch.from_numpy(logits), torch.from_numpy(y))
+    got_ce = cross_entropy(jnp.asarray(logits), jnp.asarray(y))
+    np.testing.assert_allclose(float(got_ce), float(ref_ce), rtol=1e-5)

@@ -1,0 +1,197 @@
+"""Skip-predictor heads — every predictor family in the reference, as
+functional pytrees.
+
+Reference inventory (SURVEY.md §2.1):
+  cls_mlp      — MLP([CLS ⊕ token]) -> sigmoid  [2D, 64, 1]
+                 (M1/M2: cls_mlp.py:45-54, himanshu/model_utils.py:28-37;
+                  also the M7 attention-score head, using_attention.py:64-80)
+  token_mlp    — MLP(token) [D, 64, 1]           (M12, pradeep/final.py:36-45)
+  common_mlp   — one token_mlp shared across all layers
+                 (M6, himanshu/common_mlp_model_utils.py:76-87)
+  compressor   — per-token encoder D->128->64->16, flatten all N tokens,
+                 MLP [N*16, 512, N] emitting all scores at once
+                 (M4, himanshu/all_in_one_model_utils.py:14-51)
+  shared_compressor — same, but a single compressor shared across layers
+                 (M5, all_in_one_same_compressor_utils.py:113-124)
+  cnn          — per-token compress D->256->64->16 then a conv scorer over
+                 the 14x14 patch grid (spatially-aware)
+                 (M16, recap/convprad3.py:507-557; the reference's CNN wiring
+                  is internally inconsistent — we build the intended version:
+                  grid conv over compressed token features -> N scores)
+  bottleneck   — MLP [D, 32, D, 32, 1]; the middle D-dim activation doubles
+                 as a cheap approximation of the layer output for skipped
+                 tokens (M17, recap/prad_final_code.py:146-196)
+
+All heads emit post-sigmoid scores in (0, 1), shape [B, N] (patch tokens
+only; CLS never scored). Per-layer parameters are stacked with a leading [L]
+axis; shared parts are stored once.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vit_pruning_tpu.configs import PruneConfig, ViTConfig
+
+
+# --- small functional MLP ----------------------------------------------------
+
+def _init_linear(key, fan_in, fan_out, std=0.02):
+    return {
+        "w": jax.random.truncated_normal(key, -2.0, 2.0, (fan_in, fan_out)) * std,
+        "b": jnp.zeros((fan_out,)),
+    }
+
+
+def _init_mlp(key, sizes):
+    keys = jax.random.split(key, len(sizes) - 1)
+    return {f"l{i}": _init_linear(keys[i], sizes[i], sizes[i + 1]) for i in range(len(sizes) - 1)}
+
+
+def _apply_mlp(params, x, final_sigmoid=True, hidden_act=jax.nn.relu):
+    n = len(params)
+    for i in range(n):
+        p = params[f"l{i}"]
+        x = x @ p["w"] + p["b"]
+        if i < n - 1:
+            x = hidden_act(x)
+        elif final_sigmoid:
+            x = jax.nn.sigmoid(x)
+    return x
+
+
+# --- init --------------------------------------------------------------------
+
+def init_predictor_params(
+    key: jax.Array, config: ViTConfig, pcfg: PruneConfig
+) -> Optional[dict]:
+    """Build the predictor pytree for all layers (None for predictor='none')."""
+    kind = pcfg.predictor
+    if kind == "none":
+        return None
+
+    d = config.hidden_size
+    n = config.num_patches
+    h = pcfg.predictor_hidden
+    L = config.num_layers
+    layer_keys = jax.random.split(key, L + 1)
+
+    def stack(fn):
+        per = [fn(layer_keys[i]) for i in range(L)]
+        return jax.tree.map(lambda *a: jnp.stack(a), *per)
+
+    if kind == "cls_mlp":
+        return {"mlp": stack(lambda k: _init_mlp(k, [2 * d, h, 1]))}
+    if kind == "token_mlp":
+        return {"mlp": stack(lambda k: _init_mlp(k, [d, h, 1]))}
+    if kind == "common_mlp":
+        return {"shared_mlp": _init_mlp(layer_keys[L], [d, h, 1])}
+    if kind == "compressor":
+        return {
+            "compress": stack(lambda k: _init_mlp(k, [d, 128, 64, 16])),
+            "flat": stack(lambda k: _init_mlp(k, [n * 16, 512, n])),
+        }
+    if kind == "shared_compressor":
+        return {
+            "shared_compress": _init_mlp(layer_keys[L], [d, 128, 64, 16]),
+            "flat": stack(lambda k: _init_mlp(k, [n * 16, 512, n])),
+        }
+    if kind == "cnn":
+        def cnn_init(k):
+            k1, k2, k3 = jax.random.split(k, 3)
+            return {
+                "compress": _init_mlp(k1, [d, 256, 64, 16]),
+                # 3x3 convs over the patch grid, HWIO layout
+                "conv1": {
+                    "w": jax.random.truncated_normal(k2, -2.0, 2.0, (3, 3, 16, 8)) * 0.1,
+                    "b": jnp.zeros((8,)),
+                },
+                "conv2": {
+                    "w": jax.random.truncated_normal(k3, -2.0, 2.0, (3, 3, 8, 1)) * 0.1,
+                    "b": jnp.zeros((1,)),
+                },
+            }
+        return {"cnn": stack(cnn_init)}
+    if kind == "bottleneck":
+        return {"mlp": stack(lambda k: _init_mlp(k, [d, 32, d, 32, 1]))}
+    raise ValueError(f"unknown predictor kind {kind!r}")
+
+
+# --- apply ---------------------------------------------------------------------
+
+def _slice_layer(tree, i: int):
+    return jax.tree.map(lambda a: a[i], tree)
+
+
+def apply_predictor(
+    pred_params: dict,
+    layer_idx: int,
+    hidden_states: jnp.ndarray,
+    config: ViTConfig,
+    pcfg: PruneConfig,
+) -> Tuple[jnp.ndarray, dict]:
+    """Score patch tokens at one layer.
+
+    hidden_states: [B, S, D] (CLS at position 0).
+    Returns (scores [B, N] in (0,1), extras) — extras carries e.g. the
+    bottleneck's middle activation used as the skipped-token approximation.
+    """
+    kind = pcfg.predictor
+    patches = hidden_states[:, 1:]  # [B, N, D]
+    extras: dict = {}
+
+    if kind == "cls_mlp":
+        cls = hidden_states[:, 0:1]
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, patches.shape), patches], axis=-1
+        )  # [CLS ⊕ token], model_utils.py:62-63
+        scores = _apply_mlp(_slice_layer(pred_params["mlp"], layer_idx), x)[..., 0]
+    elif kind == "token_mlp":
+        scores = _apply_mlp(_slice_layer(pred_params["mlp"], layer_idx), patches)[..., 0]
+    elif kind == "common_mlp":
+        scores = _apply_mlp(pred_params["shared_mlp"], patches)[..., 0]
+    elif kind in ("compressor", "shared_compressor"):
+        comp = (
+            pred_params["shared_compress"]
+            if kind == "shared_compressor"
+            else _slice_layer(pred_params["compress"], layer_idx)
+        )
+        lat = _apply_mlp(comp, patches, final_sigmoid=False)  # [B, N, 16]
+        flat = lat.reshape(lat.shape[0], -1)  # [B, N*16]
+        scores = _apply_mlp(_slice_layer(pred_params["flat"], layer_idx), flat)  # [B, N]
+    elif kind == "cnn":
+        p = _slice_layer(pred_params["cnn"], layer_idx)
+        lat = _apply_mlp(p["compress"], patches, final_sigmoid=False, hidden_act=jax.nn.relu)
+        g = config.grid_size
+        grid = lat.reshape(lat.shape[0], g, g, -1)  # NHWC
+        y = jax.lax.conv_general_dilated(
+            grid, p["conv1"]["w"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + p["conv1"]["b"]
+        y = jax.nn.relu(y)
+        y = jax.lax.conv_general_dilated(
+            y, p["conv2"]["w"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + p["conv2"]["b"]
+        scores = jax.nn.sigmoid(y.reshape(y.shape[0], -1))  # [B, N]
+    elif kind == "bottleneck":
+        p = _slice_layer(pred_params["mlp"], layer_idx)
+        h1 = jax.nn.relu(patches @ p["l0"]["w"] + p["l0"]["b"])      # [B, N, 32]
+        middle = jax.nn.relu(h1 @ p["l1"]["w"] + p["l1"]["b"])       # [B, N, D]
+        h3 = jax.nn.relu(middle @ p["l2"]["w"] + p["l2"]["b"])       # [B, N, 32]
+        scores = jax.nn.sigmoid(h3 @ p["l3"]["w"] + p["l3"]["b"])[..., 0]
+        # the middle activation approximates (layer(x) - x) for skipped tokens
+        # (recap/prad_final_code.py:176-183: output[~mask] = middle + hidden)
+        extras["approx_residual"] = middle
+    else:
+        raise ValueError(f"predictor kind {kind!r} has no apply rule")
+
+    return scores, extras
+
+
+def predictor_param_filter(path_leaf: str) -> bool:
+    """True for predictor params — used by freeze policies (see train.freeze)."""
+    return path_leaf.startswith("predictor")

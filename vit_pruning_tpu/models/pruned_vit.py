@@ -1,0 +1,279 @@
+"""Pruned ViT: per-layer dynamic token skipping with static shapes.
+
+This is the TPU-native redesign of the reference's ModifiedViTModel /
+ModifiedViTEncoder / ModifiedViTLayer (himanshu/model_utils.py:19-259).
+The reference's per-image ragged gather loop (model_utils.py:88-91 — B
+separate attention launches per layer) is replaced by two static-shape
+execution modes that compile to a single XLA program:
+
+  mask   — all tokens stay resident; skipped tokens are excluded from the
+           attention softmax via a key-validity mask and carried through the
+           residual unchanged. Numerically identical to the reference's
+           gather/scatter (softmax over the same kept-key set).
+  topk   — fixed-budget compaction (M7, pradeep/using_attention.py:136-152):
+           keep the top-k scored patches + CLS, gather to a dense
+           [B, K+1, D] sequence, run the layer, scatter back. Static K =>
+           real FLOP savings on the MXU.
+  oracle — ground-truth masking from the similarity oracle itself (M3/M11
+           upper-bound studies): the dense pass IS computed, kept positions
+           take its output, skipped positions keep their input.
+  random — per-layer random keep budgets (M14 control baseline).
+
+Per-layer masks, scores, losses and confusion counts are explicit outputs
+(an `aux` pytree), replacing the reference's side-channel module attributes
+(`.loss`, `.boolean_mask`, `.mlp_confusion_matrix`; model_utils.py:108-113).
+
+Training-time oracle: like the reference, the full (dense) layer output is
+computed alongside the pruned one (model_utils.py:95-101) — but here it is
+computed *once* and reused as the similarity-oracle input, the CLS-attention
+target (M7) and, in oracle mode, the actual output. Teacher signals are
+stop-gradient'd: phase training freezes the backbone anyway
+(main_model_utils.py:108-113), and this keeps the compiled train step lean.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vit_pruning_tpu.configs import PruneConfig, ViTConfig
+from vit_pruning_tpu.models.predictors import apply_predictor, init_predictor_params
+from vit_pruning_tpu.models.vit import embed, init_vit_params, layer_norm, vit_layer
+from vit_pruning_tpu.ops.masking import (
+    add_cls_keep,
+    compact_indices,
+    confusion_counts,
+    gather_compact,
+    neighbor_average,
+    neighbor_index_table,
+    random_keep_mask,
+    scatter_back,
+    similarity_oracle,
+    threshold_keep_mask,
+    topk_keep_mask,
+)
+from vit_pruning_tpu.train.losses import (
+    focal_loss,
+    mse_attention_loss,
+    mse_cosine_loss,
+    weighted_bce_oracle,
+)
+
+
+def init_pruned_vit_params(key: jax.Array, config: ViTConfig, pcfg: PruneConfig) -> dict:
+    """{'backbone': ViT params, 'predictor': predictor params or None}.
+
+    Matches the reference's init: backbone from (converted) pretrained
+    weights, predictor heads random (hi_main.py:130-137 strict=False load).
+    Use models.convert.torch_state_dict_to_params to fill 'backbone'.
+    """
+    kb, kp = jax.random.split(key)
+    return {
+        "backbone": init_vit_params(kb, config),
+        "predictor": init_predictor_params(kp, config, pcfg),
+    }
+
+
+def _layer_slice(layers: dict, i: int) -> dict:
+    return jax.tree.map(lambda a: a[i], layers)
+
+
+def _is_active(pcfg: PruneConfig, i: int) -> bool:
+    """mlp_needed_arr equivalent (model_utils.py:126-131)."""
+    if pcfg.mode == "none":
+        return False
+    return pcfg.active_layers is None or i in pcfg.active_layers
+
+
+def pruned_layer_forward(
+    layer_params: dict,
+    pred_params: Optional[dict],
+    layer_idx: int,
+    x: jnp.ndarray,
+    config: ViTConfig,
+    pcfg: PruneConfig,
+    *,
+    prev_keep: Optional[jnp.ndarray],
+    nbr_idx,
+    need_oracle: bool,
+    rng: Optional[jax.Array],
+):
+    """One pruned encoder layer. Returns (x_out, info dict).
+
+    info: keep_mask [B,S] bool, scores [B,N], and when need_oracle also
+    pred_loss (scalar), similarity [B,N], oracle_keep [B,N], confusion [2,2].
+    """
+    b, s, d = x.shape
+    n = s - 1
+
+    # --- neighbor refresh of previously-skipped tokens (model_utils.py:47-51)
+    if pcfg.avg_threshold > 0.0 and prev_keep is not None:
+        patches = neighbor_average(
+            x[:, 1:], nbr_idx, pcfg.avg_threshold, source_mask=~prev_keep[:, 1:]
+        )
+        x = jnp.concatenate([x[:, 0:1], patches], axis=1)
+
+    # --- score and select
+    extras: dict = {}
+    if pcfg.predictor != "none" and pred_params is not None:
+        scores, extras = apply_predictor(pred_params, layer_idx, x, config, pcfg)
+    else:
+        scores = jnp.ones((b, n), dtype=x.dtype)
+
+    dense_out = None
+    probs = None
+    need_probs = need_oracle and pcfg.loss == "mse_attention"
+    if pcfg.mode == "oracle" or need_oracle:
+        if need_probs:
+            dense_out, probs = vit_layer(x, layer_params, config, return_probs=True)
+        else:
+            dense_out = vit_layer(x, layer_params, config)
+
+    if pcfg.mode == "mask":
+        keep = threshold_keep_mask(scores, pcfg.mlp_threshold)
+        mask = add_cls_keep(keep)
+        y = vit_layer(x, layer_params, config, token_mask=mask)
+        out = jnp.where(mask[..., None], y, _passthrough(x, extras, mask))
+    elif pcfg.mode == "topk":
+        keep, _ = topk_keep_mask(scores, pcfg.top_k)
+        mask = add_cls_keep(keep)
+        cidx = compact_indices(mask, pcfg.top_k + 1)  # CLS first, ascending
+        xc = gather_compact(x, cidx)
+        yc = vit_layer(xc, layer_params, config)
+        out = scatter_back(_passthrough(x, extras, mask), cidx, yc)
+    elif pcfg.mode == "oracle":
+        sim_o = similarity_oracle(x[:, 1:], dense_out[:, 1:], pcfg.oracle_alpha)
+        keep = sim_o < pcfg.sim_threshold  # token changes a lot => process
+        mask = add_cls_keep(keep)
+        out = jnp.where(mask[..., None], dense_out, x)
+    elif pcfg.mode == "random":
+        if rng is None:
+            raise ValueError("mode='random' requires an rng")
+        budget = (
+            pcfg.random_keep[layer_idx] if pcfg.random_keep is not None else pcfg.top_k
+        )
+        keep = random_keep_mask(jax.random.fold_in(rng, layer_idx), b, n, budget)
+        mask = add_cls_keep(keep)
+        y = vit_layer(x, layer_params, config, token_mask=mask)
+        out = jnp.where(mask[..., None], y, x)
+    else:
+        raise ValueError(f"unknown prune mode {pcfg.mode!r}")
+
+    info = {"keep_mask": mask, "scores": scores}
+
+    if need_oracle:
+        dense_p = jax.lax.stop_gradient(dense_out[:, 1:])
+        sim = similarity_oracle(jax.lax.stop_gradient(x[:, 1:]), dense_p, pcfg.oracle_alpha)
+        oracle_keep = sim < pcfg.sim_threshold
+        if pcfg.loss == "bce_oracle":
+            pred_loss = weighted_bce_oracle(scores, oracle_keep)
+        elif pcfg.loss == "mse_cosine":
+            dot = jnp.sum(dense_p * jax.lax.stop_gradient(x[:, 1:]), axis=-1)
+            nrm = jnp.linalg.norm(dense_p, axis=-1) * jnp.linalg.norm(x[:, 1:], axis=-1)
+            cos = (dot / jnp.maximum(jax.lax.stop_gradient(nrm), 1e-12) + 1.0) / 2.0
+            pred_loss = mse_cosine_loss(scores, cos)
+        elif pcfg.loss == "mse_attention":
+            target = jax.lax.stop_gradient(probs[:, :, 0, 1:].mean(axis=1))
+            pred_loss = mse_attention_loss(scores, target)
+        elif pcfg.loss == "focal":
+            pred_loss = focal_loss(
+                scores, oracle_keep, alpha=pcfg.focal_alpha, gamma=pcfg.focal_gamma
+            )
+        else:
+            raise ValueError(f"unknown loss {pcfg.loss!r}")
+        info.update(
+            pred_loss=pred_loss,
+            similarity=sim,
+            oracle_keep=oracle_keep,
+            confusion=confusion_counts(oracle_keep, mask[:, 1:]),
+        )
+
+    return out, info
+
+
+def _passthrough(x: jnp.ndarray, extras: dict, mask: jnp.ndarray) -> jnp.ndarray:
+    """Value carried by skipped tokens: identity, or the bottleneck's learned
+    approximation `middle + hidden` (M17, recap/prad_final_code.py:176-183)."""
+    if "approx_residual" in extras:
+        approx = x[:, 1:] + extras["approx_residual"]
+        return jnp.concatenate([x[:, 0:1], approx], axis=1)
+    return x
+
+
+def pruned_vit_forward(
+    params: dict,
+    pixel_values: jnp.ndarray,
+    config: ViTConfig,
+    pcfg: PruneConfig,
+    *,
+    train: bool = False,
+    compute_oracle: bool = False,
+    rng: Optional[jax.Array] = None,
+):
+    """Full pruned forward.
+
+    Returns dict with:
+      logits [B, num_labels], cls [B, D], last_hidden [B, S, D]
+      keep_masks [L, B, S] bool, scores [L, B, N]
+      aux (only when train or compute_oracle — the reference's
+      `compute_cosine` flag, model_utils.py:95): pred_loss [L],
+      similarity [L, B, N], oracle_keep [L, B, N], confusion [L, 2, 2]
+    `train=True` or `compute_oracle=True` adds the dense oracle pass per
+    layer, exactly like the reference's training/full_testing paths.
+    """
+    need_oracle = train or compute_oracle
+    backbone = params["backbone"]
+    pred = params.get("predictor")
+
+    x = embed(pixel_values, backbone["embed"], config)
+    nbr_idx = jnp.asarray(neighbor_index_table(config.grid_size))
+
+    masks, scores_l, aux_l = [], [], []
+    prev_keep = None
+    for i in range(config.num_layers):
+        lp = _layer_slice(backbone["layers"], i)
+        if not _is_active(pcfg, i):
+            x = vit_layer(x, lp, config)
+            mask = jnp.ones(x.shape[:2], dtype=bool)
+            info = {"keep_mask": mask, "scores": jnp.ones((x.shape[0], x.shape[1] - 1), x.dtype)}
+            if need_oracle:
+                n = x.shape[1] - 1
+                info.update(
+                    pred_loss=jnp.zeros(()),
+                    similarity=jnp.zeros((x.shape[0], n), x.dtype),
+                    oracle_keep=jnp.ones((x.shape[0], n), bool),
+                    confusion=jnp.zeros((2, 2), jnp.int32),
+                )
+        else:
+            x, info = pruned_layer_forward(
+                lp, pred, i, x, config, pcfg,
+                prev_keep=prev_keep, nbr_idx=nbr_idx,
+                need_oracle=need_oracle, rng=rng,
+            )
+        prev_keep = info["keep_mask"]
+        masks.append(info["keep_mask"])
+        scores_l.append(info["scores"])
+        if need_oracle:
+            aux_l.append({k: info[k] for k in ("pred_loss", "similarity", "oracle_keep", "confusion")})
+
+    x = layer_norm(x, backbone["ln_f"], config.layernorm_eps)
+    cls = x[:, 0]
+    logits = cls @ backbone["head"]["w"] + backbone["head"]["b"]
+
+    out = {
+        "logits": logits,
+        "cls": cls,
+        "last_hidden": x,
+        "keep_masks": jnp.stack(masks),
+        "scores": jnp.stack(scores_l),
+    }
+    if need_oracle:
+        out["aux"] = jax.tree.map(lambda *a: jnp.stack(a), *aux_l)
+    return out
+
+
+def skip_ratio(keep_masks: jnp.ndarray) -> jnp.ndarray:
+    """Fraction of tokens skipped per layer: [L, B, S] -> [L]."""
+    return 1.0 - keep_masks.mean(axis=(1, 2), dtype=jnp.float32)
