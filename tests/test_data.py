@@ -1,0 +1,52 @@
+"""Data pipeline: preprocessing must match HF ViTImageProcessor semantics."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vit_pruning_tpu.data.preprocess import pil_preprocess, vit_preprocess
+from vit_pruning_tpu.data.datasets import Batches, synthetic_dataset
+
+
+def test_pil_preprocess_matches_hf_processor():
+    transformers = pytest.importorskip("transformers")
+    from transformers import ViTImageProcessor
+
+    proc = ViTImageProcessor()  # defaults: 224, bilinear, 1/255, mean/std 0.5
+    rng = np.random.RandomState(0)
+    imgs = [rng.randint(0, 256, (32, 32, 3), dtype=np.uint8) for _ in range(3)]
+
+    ref = proc(images=imgs, return_tensors="np")["pixel_values"]
+    got = pil_preprocess(imgs)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_jnp_preprocess_close_to_pil():
+    rng = np.random.RandomState(1)
+    imgs = rng.randint(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    ref = pil_preprocess(list(imgs))
+    got = np.asarray(vit_preprocess(jnp.asarray(imgs)))
+    assert got.shape == ref.shape == (2, 3, 224, 224)
+    # PIL and jax bilinear upsampling agree closely but not bitwise
+    assert np.abs(got - ref).mean() < 0.02
+    assert np.abs(got - ref).max() < 0.5
+
+
+def test_batches_shapes_and_shuffle():
+    images, labels = synthetic_dataset(n=70, image_size=16, num_labels=4)
+    b = Batches(images, labels, batch_size=32, image_size=16, shuffle=True, seed=3)
+    batches = list(b)
+    assert len(batches) == 2  # drop_last
+    assert batches[0]["pixel_values"].shape == (32, 3, 16, 16)
+    assert batches[0]["labels"].shape == (32,)
+    # different epochs reshuffle
+    first = np.asarray(list(b)[0]["labels"])
+    second = np.asarray(list(b)[0]["labels"])
+    assert not np.array_equal(first, second)
+
+
+def test_batches_rejects_tiny_dataset():
+    images, labels = synthetic_dataset(n=8, image_size=16)
+    with pytest.raises(ValueError):
+        Batches(images, labels, batch_size=32, image_size=16)

@@ -1,0 +1,157 @@
+"""Harness: freeze policies actually freeze, phases train, checkpoints
+round-trip, metrics/flops/run-name formats hold."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vit_pruning_tpu.configs import PruneConfig, ViTConfig
+from vit_pruning_tpu.data.datasets import Batches, synthetic_dataset
+from vit_pruning_tpu.models.pruned_vit import init_pruned_vit_params
+from vit_pruning_tpu.train.freeze import freeze_mask, masked_adam, POLICIES
+from vit_pruning_tpu.train.harness import (
+    evaluate,
+    make_train_step,
+    phased_train,
+    train,
+)
+from vit_pruning_tpu.utils.flops import pruned_vit_flops, vit_flops
+from vit_pruning_tpu.utils.run_logging import encode_run_name, append_stats
+from vit_pruning_tpu.checkpoint import save_checkpoint, restore_checkpoint
+
+CFG = ViTConfig(
+    image_size=16, patch_size=8, hidden_size=32, num_layers=2,
+    num_heads=2, mlp_dim=64, num_labels=4,
+)
+PCFG = PruneConfig(mode="mask", predictor="cls_mlp", loss="bce_oracle")
+
+
+def _data(n=64, bs=16):
+    images, labels = synthetic_dataset(n=n, image_size=16, num_labels=4)
+    return Batches(images, labels, batch_size=bs, image_size=16, shuffle=True)
+
+
+def _flat_diff(a, b):
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    return [float(jnp.abs(x - y).max()) for x, y in zip(la, lb)]
+
+
+@pytest.mark.parametrize("policy", POLICIES)
+def test_freeze_policies(policy):
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, PCFG)
+    optimizer = masked_adam(params, policy, lr=1e-2)
+    step = make_train_step(CFG, PCFG, "both", optimizer)
+    opt_state = optimizer.init(params)
+    batch = next(iter(_data()))
+    import copy
+    before = jax.tree.map(lambda a: a.copy(), params)
+    new_params, _, _ = step(params, opt_state, batch, jax.random.PRNGKey(1))
+
+    mask = freeze_mask(before, policy)
+    moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()) > 0, before, new_params)
+    for m, mv, leafpath in zip(
+        jax.tree.leaves(mask), jax.tree.leaves(moved),
+        [str(p) for p, _ in jax.tree_util.tree_leaves_with_path(mask)],
+    ):
+        if not m:
+            assert not mv, f"frozen leaf moved under {policy}: {leafpath}"
+    # at least one trainable leaf actually moved
+    trainable_moved = [mv for m, mv in zip(jax.tree.leaves(mask), jax.tree.leaves(moved)) if m]
+    assert any(trainable_moved)
+
+
+def test_cosine_phase_trains_predictor():
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, PCFG)
+    data = _data()
+    from vit_pruning_tpu.train.harness import total_loss_fn
+
+    batch = next(iter(data))
+    loss0 = float(total_loss_fn(params, batch, CFG, PCFG, "cosine", jax.random.PRNGKey(0))[0])
+    params = train(
+        params, data, data, CFG, PCFG,
+        num_epochs=2, loss_type="cosine", lr=1e-3, full_testing=True,
+    )
+    loss1 = float(total_loss_fn(params, batch, CFG, PCFG, "cosine", jax.random.PRNGKey(0))[0])
+    assert loss1 < loss0
+
+
+def test_classification_phase_learns_synthetic():
+    pcfg = PruneConfig(mode="none", predictor="none")
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    data = _data(n=128, bs=32)
+    acc0, _, _ = evaluate(params, data, CFG, pcfg)
+    params = train(
+        params, data, data, CFG, pcfg,
+        num_epochs=3, loss_type="classification", lr=1e-3, full_testing=False,
+    )
+    acc1, _, _ = evaluate(params, data, CFG, pcfg)
+    assert acc1 > max(acc0, 0.5)  # synthetic classes are separable
+
+
+def test_phased_train_smoke(tmp_path):
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, PCFG)
+    data = _data()
+    lines = []
+    from vit_pruning_tpu.checkpoint import BestCheckpoint
+
+    best = BestCheckpoint(str(tmp_path), "run")
+    params = phased_train(
+        params, data, data, CFG, PCFG,
+        train_type="both", num_epochs=(1, 1), lrs=(1e-3, 1e-5),
+        log=lines.append, best=best,
+    )
+    text = "\n".join(lines)
+    assert "Skip ratio" in text and "MLP accuracy" in text
+    assert "Confusion matrix for each layer" in text
+    assert best.best_accuracy > 0
+
+
+def test_alternate_loss_type():
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, PCFG)
+    data = _data(n=32, bs=16)
+    params = train(
+        params, data, data, CFG, PCFG,
+        num_epochs=2, loss_type="alternate", lr=1e-3, full_testing=False,
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, PCFG)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, params)
+    zeroed = jax.tree.map(jnp.zeros_like, params)
+    restored = restore_checkpoint(path, zeroed)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flops_accounting():
+    dense = vit_flops(CFG)
+    pcfg = PruneConfig(mode="topk", predictor="cls_mlp", top_k=2)
+    pruned = pruned_vit_flops(CFG, pcfg)
+    assert 0 < pruned < dense
+    # live-token override
+    measured = pruned_vit_flops(CFG, pcfg, tokens_per_layer=[3, 3])
+    assert 0 < measured < dense
+
+
+def test_run_name_and_stats(tmp_path):
+    name = encode_run_name(
+        "desc", "both", "model_utils", ["cosine", "classification"],
+        [1e-3, 1e-5], 0.9, 0.5, 0.0, 32, None, None, 16,
+        timestamp="2026-01-01_00-00-00",
+    )
+    assert name == (
+        "2026-01-01_00-00-00_desc_both_model_utils_loss-cosine^classification"
+        "_lr-0.001^1e-05_st-0.9_mt-0.5_at-0.0_bs-32_trs-None_tes-None_nw-16"
+    )
+    csv = str(tmp_path / "stats.csv")
+    append_stats(csv, name, 0.9, 0.8)
+    append_stats(csv, name, 0.91, 0.81)
+    lines = open(csv).read().strip().split("\n")
+    assert lines[0] == "Model, Accuracy, MLP Accuracy"
+    assert len(lines) == 3

@@ -1,0 +1,201 @@
+"""Experiment driver CLI — the reference's hi_main.py as a real entry point.
+
+    python -m vit_pruning_tpu.cli train -d my_experiment [--preset smoke] ...
+    python -m vit_pruning_tpu.cli eval --checkpoint models/<run>
+
+Reproduces the hi_main.py flow (himanshu/hi_main.py:36-187): config, run-name
+encoding, optional pretrained-weight surgery, phase-1 predictor training,
+phase-2 backbone fine-tune, final eval, stats.csv append, FLOPs comparison.
+Config constants become flags with the reference's defaults (hi_main.py:88-108).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import numpy as np
+
+from vit_pruning_tpu.configs import (
+    PruneConfig,
+    ViTConfig,
+    deit_small,
+    deit_tiny,
+    vit_base_patch16_224,
+    vit_tiny,
+)
+from vit_pruning_tpu.checkpoint import BestCheckpoint, restore_checkpoint
+from vit_pruning_tpu.data.datasets import Batches, load_cifar100, load_image_folder, synthetic_dataset
+from vit_pruning_tpu.models.pruned_vit import init_pruned_vit_params, pruned_vit_forward
+from vit_pruning_tpu.train.harness import evaluate, phased_train
+from vit_pruning_tpu.utils.flops import pruned_vit_flops, vit_flops
+from vit_pruning_tpu.utils.run_logging import RunLogger, append_stats, encode_run_name
+
+MODELS = {
+    "vit_base": vit_base_patch16_224,
+    "deit_tiny": deit_tiny,
+    "deit_small": deit_small,
+    "vit_tiny": vit_tiny,
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vit_pruning_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="phased train (hi_main.py flow)")
+    t.add_argument("--model_desc", "-d", type=str, required=True, help="Desc of model")
+    t.add_argument("--model", choices=sorted(MODELS), default="vit_base")
+    t.add_argument("--dataset", choices=["cifar100", "imagefolder", "synthetic"],
+                   default="synthetic")
+    t.add_argument("--data_path", default="./data")
+    t.add_argument("--preset", choices=["smoke", "full"], default="full")
+    # hi_main.py:88-108 constants as flags
+    t.add_argument("--train_type", choices=["mlp", "vit", "both", "none"], default="both")
+    t.add_argument("--loss_type", nargs=2, default=["cosine", "classification"])
+    t.add_argument("--num_epochs", nargs=2, type=int, default=[10, 10])
+    t.add_argument("--lr", nargs=2, type=float, default=[1e-3, 1e-5])
+    t.add_argument("--train_batch_size", type=int, default=32)
+    t.add_argument("--test_batch_size", type=int, default=128)
+    t.add_argument("--train_size", type=int, default=None)
+    t.add_argument("--test_size", type=int, default=None)
+    t.add_argument("--sim_threshold", type=float, default=0.9)
+    t.add_argument("--mlp_threshold", type=float, default=0.5)
+    t.add_argument("--avg_threshold", type=float, default=0.0)
+    t.add_argument("--mode", choices=["mask", "topk", "oracle", "random", "none"],
+                   default="mask")
+    t.add_argument("--predictor", default="cls_mlp")
+    t.add_argument("--loss", default="bce_oracle",
+                   help="predictor loss: bce_oracle|mse_cosine|mse_attention|focal")
+    t.add_argument("--top_k", type=int, default=150)
+    t.add_argument("--pretrained_checkpoint", default=None,
+                   help="resume from an orbax checkpoint (hi_main.py:138-139)")
+    t.add_argument("--torch_checkpoint", default=None,
+                   help="initialize backbone from a torch state_dict .pth "
+                        "(vit.-prefix surgery, hi_main.py:130-137)")
+    t.add_argument("--csv_path", default="stats.csv")
+    t.add_argument("--log_dir", default="logs")
+    t.add_argument("--models_dir", default="models")
+    t.add_argument("--seed", type=int, default=42)
+    t.add_argument("--quiet", action="store_true")
+
+    e = sub.add_parser("eval", help="evaluate a checkpoint (test() equivalent)")
+    for a in ("--model", "--dataset", "--data_path", "--mode", "--predictor"):
+        e.add_argument(a, default=None)
+    e.add_argument("--checkpoint", required=True)
+    e.add_argument("--test_batch_size", type=int, default=128)
+    e.add_argument("--full_testing", action="store_true")
+    return p
+
+
+def _load_data(args, config: ViTConfig):
+    if args.dataset == "synthetic":
+        n_train = args.train_size or 256
+        n_test = args.test_size or 128
+        tr = synthetic_dataset(n=n_train, image_size=config.image_size,
+                               num_labels=config.num_labels, seed=0)
+        te = synthetic_dataset(n=n_test, image_size=config.image_size,
+                               num_labels=config.num_labels, seed=1)
+    elif args.dataset == "cifar100":
+        tr = load_cifar100(args.data_path, train=True, size=args.train_size)
+        te = load_cifar100(args.data_path, train=False, size=args.test_size)
+    else:
+        tr = load_image_folder(args.data_path, "train", size=args.train_size,
+                               image_size=config.image_size)
+        te = load_image_folder(args.data_path, "val", size=args.test_size,
+                               image_size=config.image_size)
+    train_b = Batches(*tr, batch_size=args.train_batch_size,
+                      image_size=config.image_size, shuffle=True, seed=args.seed)
+    test_b = Batches(*te, batch_size=min(args.test_batch_size, len(te[1])),
+                     image_size=config.image_size)
+    return train_b, test_b
+
+
+def cmd_train(args) -> int:
+    if args.preset == "smoke":
+        args.model = "vit_tiny"
+        args.dataset = "synthetic"
+        args.num_epochs = [1, 1]
+        args.train_batch_size = 16
+        args.test_batch_size = 16
+        args.train_size = args.train_size or 64
+        args.test_size = args.test_size or 32
+        args.top_k = min(args.top_k, 8)
+
+    config = MODELS[args.model](num_labels=100 if args.dataset == "cifar100" else None) \
+        if args.dataset == "cifar100" else MODELS[args.model]()
+    pcfg = PruneConfig(
+        mode=args.mode, predictor=args.predictor if args.mode != "none" else "none",
+        loss=args.loss, sim_threshold=args.sim_threshold,
+        mlp_threshold=args.mlp_threshold, avg_threshold=args.avg_threshold,
+        top_k=args.top_k,
+    )
+
+    run_name = encode_run_name(
+        args.model_desc, args.train_type, f"{args.mode}-{args.predictor}",
+        args.loss_type, args.lr, args.sim_threshold, args.mlp_threshold,
+        args.avg_threshold, args.train_batch_size, args.train_size, args.test_size,
+    )
+    log = RunLogger(run_name, args.log_dir, quiet=args.quiet)
+    log(f"devices: {jax.devices()}  argv: {' '.join(sys.argv)}")
+
+    params = init_pruned_vit_params(jax.random.PRNGKey(args.seed), config, pcfg)
+    if args.torch_checkpoint:
+        import torch
+        from vit_pruning_tpu.models.convert import torch_state_dict_to_params
+
+        sd = torch.load(args.torch_checkpoint, map_location="cpu")
+        params["backbone"] = torch_state_dict_to_params(sd, config)
+    elif args.pretrained_checkpoint:
+        params = restore_checkpoint(args.pretrained_checkpoint, params)
+
+    train_b, test_b = _load_data(args, config)
+    os.makedirs(args.models_dir, exist_ok=True)
+    best = BestCheckpoint(args.models_dir, run_name)
+
+    params = phased_train(
+        params, train_b, test_b, config, pcfg,
+        train_type=args.train_type, loss_types=tuple(args.loss_type),
+        num_epochs=tuple(args.num_epochs), lrs=tuple(args.lr),
+        log=log, best=best,
+    )
+
+    accuracy, mlp_accuracy, acc = evaluate(
+        params, test_b, config, pcfg, full_testing=True, log=log
+    )
+    append_stats(args.csv_path, run_name, accuracy, mlp_accuracy)
+
+    dense = vit_flops(config)
+    tokens = (1.0 - acc.measured_skip_per_layer) * config.seq_len
+    pruned = pruned_vit_flops(config, pcfg, tokens_per_layer=tokens)
+    log(f"FLOPs/image: pruned {pruned / 1e9:.2f} GFLOPs vs dense {dense / 1e9:.2f} GFLOPs "
+        f"({pruned / dense:.1%})")
+    log.close()
+    return 0
+
+
+def cmd_eval(args) -> int:
+    config = MODELS[args.model or "vit_base"]()
+    pcfg = PruneConfig(mode=args.mode or "mask", predictor=args.predictor or "cls_mlp")
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), config, pcfg)
+    params = restore_checkpoint(args.checkpoint, params)
+    args.train_batch_size = args.test_batch_size
+    args.train_size = args.test_size = None
+    args.seed = 0
+    _, test_b = _load_data(args, config)
+    accuracy, mlp_accuracy, _ = evaluate(
+        params, test_b, config, pcfg, full_testing=args.full_testing, log=print
+    )
+    print(f"accuracy={accuracy:.4f} mlp_accuracy={mlp_accuracy:.4f}")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return cmd_train(args) if args.command == "train" else cmd_eval(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

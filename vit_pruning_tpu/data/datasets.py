@@ -1,0 +1,175 @@
+"""Datasets + batching.
+
+Reference equivalents: CIFAR100Dataset (himanshu/main_model_utils.py:42-60,
+torchvision download + per-sample HF processor), TinyImageNetDataset /
+ImageFolder (:64-95), and the Kaggle fetch (hi_main.py:48-53). This
+environment is zero-egress, so:
+
+  * `load_cifar100`     — reads the standard CIFAR-100 python-pickle layout
+                          from a local directory (the format torchvision
+                          downloads); no network.
+  * `load_image_folder` — class-per-subdirectory trees (TinyImageNet/ImageNet-val)
+                          decoded with PIL.
+  * `synthetic_dataset` — deterministic fake data for tests/benchmarks.
+
+`Batches` reproduces the DataLoader role (shuffle via a seeded permutation,
+fixed batch size, drop_last) with preprocessing fused into one jitted call
+per batch — the reference's per-sample `processor(...)` calls
+(main_model_utils.py:58) are the host-side bottleneck it replaces.
+Optional random-subset / prefix-subset selection matches `size=` semantics
+(main_model_utils.py:45-47).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import tarfile
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vit_pruning_tpu.data.preprocess import vit_preprocess
+
+
+def load_cifar100(
+    root: str, train: bool = True, size: Optional[int] = None, seed: int = 42
+) -> Tuple[np.ndarray, np.ndarray]:
+    """CIFAR-100 from the standard `cifar-100-python` pickle layout.
+
+    Returns (images [N, 32, 32, 3] uint8, labels [N] int32). `size` takes a
+    seeded random subset (the reference's randperm subset,
+    main_model_utils.py:45-47).
+    """
+    base = os.path.join(root, "cifar-100-python")
+    if not os.path.isdir(base):
+        tgz = os.path.join(root, "cifar-100-python.tar.gz")
+        if os.path.isfile(tgz):
+            with tarfile.open(tgz) as tf:
+                tf.extractall(root)
+        else:
+            raise FileNotFoundError(
+                f"CIFAR-100 not found under {root!r} (expected cifar-100-python/ "
+                "or cifar-100-python.tar.gz; this environment cannot download)"
+            )
+    fname = os.path.join(base, "train" if train else "test")
+    with open(fname, "rb") as f:
+        d = pickle.load(f, encoding="bytes")
+    images = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    labels = np.asarray(d[b"fine_labels"], dtype=np.int32)
+    if size is not None:
+        idx = np.random.RandomState(seed).permutation(len(labels))[:size]
+        images, labels = images[idx], labels[idx]
+    return images, labels
+
+
+def load_image_folder(
+    root: str,
+    split: Optional[str] = None,
+    size: Optional[int] = None,
+    image_size: int = 224,
+    seed: int = 42,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """class-per-subdirectory image tree -> (images [N,H,W,3] uint8, labels).
+
+    Images are decoded and resized host-side with PIL (bilinear — the HF
+    processor's resample). Matches TinyImageNetDataset semantics
+    (main_model_utils.py:64-95).
+    """
+    from PIL import Image
+
+    folder = os.path.join(root, split) if split else root
+    classes = sorted(
+        d for d in os.listdir(folder) if os.path.isdir(os.path.join(folder, d))
+    )
+    files, labels = [], []
+    for ci, cname in enumerate(classes):
+        cdir = os.path.join(folder, cname)
+        for dirpath, _, fnames in os.walk(cdir):
+            for fn in sorted(fnames):
+                if fn.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")):
+                    files.append(os.path.join(dirpath, fn))
+                    labels.append(ci)
+    labels = np.asarray(labels, dtype=np.int32)
+    if size is not None:
+        idx = np.random.RandomState(seed).permutation(len(labels))[:size]
+        files = [files[i] for i in idx]
+        labels = labels[idx]
+    images = np.stack(
+        [
+            np.asarray(
+                Image.open(f).convert("RGB").resize((image_size, image_size), Image.BILINEAR),
+                dtype=np.uint8,
+            )
+            for f in files
+        ]
+    )
+    return images, labels
+
+
+def synthetic_dataset(
+    n: int = 256, image_size: int = 32, num_labels: int = 10, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic fake data (class-dependent mean + noise) so tiny training
+    runs can actually learn something in tests."""
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, num_labels, n).astype(np.int32)
+    base = rng.rand(num_labels, image_size, image_size, 3) * 255
+    images = base[labels] * 0.7 + rng.rand(n, image_size, image_size, 3) * 0.3 * 255
+    return images.astype(np.uint8), labels
+
+
+class Batches:
+    """Host->device batcher with fused preprocessing.
+
+    Yields dicts {'pixel_values': [B,3,S,S] f32 (device), 'labels': [B] i32}.
+    drop_last=True keeps shapes static (one compiled program per run).
+    """
+
+    def __init__(
+        self,
+        images: np.ndarray,
+        labels: np.ndarray,
+        batch_size: int,
+        image_size: int = 224,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        if len(images) < batch_size:
+            raise ValueError(
+                f"dataset of {len(images)} samples smaller than batch_size {batch_size}"
+            )
+        self.images = images
+        self.labels = labels
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+        self._pre = jax.jit(lambda im: vit_preprocess(im, image_size))
+
+    def __len__(self) -> int:
+        n = len(self.images) // self.batch_size
+        if not self.drop_last and len(self.images) % self.batch_size:
+            n += 1
+        return n
+
+    @property
+    def num_samples(self) -> int:
+        return len(self) * self.batch_size if self.drop_last else len(self.images)
+
+    def __iter__(self) -> Iterator[dict]:
+        order = np.arange(len(self.images))
+        if self.shuffle:
+            order = np.random.RandomState(self.seed + self._epoch).permutation(order)
+            self._epoch += 1
+        for i in range(len(self)):
+            idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+            yield {
+                "pixel_values": self._pre(jnp.asarray(self.images[idx])),
+                "labels": jnp.asarray(self.labels[idx]),
+            }

@@ -1,0 +1,74 @@
+"""Freeze policies as optax gradient masks.
+
+The reference toggles `requires_grad` over module subsets
+(ModifiedViTModel.{vit_mlp_train, vit_train, mlp_train, classifier_train,
+classifier_mlp_train}, himanshu/model_utils.py:261-300) and builds a new Adam
+over trainable params each phase (main_model_utils.py:119). Here a policy is
+a boolean pytree mask fed to `optax.masked` — functionally identical, and the
+whole train step stays one compiled program.
+"""
+
+from __future__ import annotations
+
+import jax
+import optax
+
+POLICIES = (
+    "vit_mlp_train",      # everything trainable             (model_utils.py:261-263)
+    "vit_train",          # backbone only, predictors frozen (:265-273)
+    "mlp_train",          # predictors only                  (:275-282)
+    "classifier_train",   # classifier head only             (:285-289)
+    "classifier_mlp_train",  # head + predictors             (:291-300)
+)
+
+
+def _fill(tree, value: bool):
+    return jax.tree.map(lambda _: value, tree)
+
+
+def freeze_mask(params: dict, policy: str) -> dict:
+    """Boolean pytree: True = trainable under `policy`."""
+    if policy not in POLICIES:
+        raise ValueError(f"policy {policy!r} not in {POLICIES}")
+    backbone = params["backbone"]
+    pred = params.get("predictor")
+
+    if policy == "vit_mlp_train":
+        bb, pd = _fill(backbone, True), _fill(pred, True)
+    elif policy == "vit_train":
+        bb, pd = _fill(backbone, True), _fill(pred, False)
+    elif policy == "mlp_train":
+        bb, pd = _fill(backbone, False), _fill(pred, True)
+    elif policy == "classifier_train":
+        bb = _fill(backbone, False)
+        bb["head"] = _fill(backbone["head"], True)
+        pd = _fill(pred, False)
+    else:  # classifier_mlp_train
+        bb = _fill(backbone, False)
+        bb["head"] = _fill(backbone["head"], True)
+        pd = _fill(pred, True)
+    return {"backbone": bb, "predictor": pd}
+
+
+def policy_for_loss_type(loss_type: str) -> str:
+    """Phase dispatch of main_model_utils.py:108-113."""
+    return {
+        "cosine": "mlp_train",
+        "classification": "vit_train",
+        "both": "vit_mlp_train",
+    }.get(loss_type, "vit_mlp_train")
+
+
+def masked_adam(params: dict, policy: str, lr: float) -> optax.GradientTransformation:
+    """Adam over the policy-selected subset (main_model_utils.py:119).
+
+    Frozen leaves get zero updates (optax.masked alone would pass raw
+    gradients through for unmasked leaves).
+    """
+    labels = jax.tree.map(
+        lambda trainable: "train" if trainable else "freeze",
+        freeze_mask(params, policy),
+    )
+    return optax.multi_transform(
+        {"train": optax.adam(lr), "freeze": optax.set_to_zero()}, labels
+    )

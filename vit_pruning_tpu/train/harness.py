@@ -1,0 +1,234 @@
+"""Phased train/eval harness.
+
+The reference's L3 layer (himanshu/main_model_utils.py): `train()` with loss
+mixing ('classification' / 'cosine' / 'both' / 'alternate'), freeze-policy
+dispatch, per-epoch eval with per-layer skip/CM tables, best-checkpoint
+saving; `test()` with full_testing oracle instrumentation. Phases are driven
+exactly like hi_main.py:161-168: phase 1 'cosine' (predictor only, lr 1e-3),
+phase 2 'classification' (backbone, lr 1e-5).
+
+TPU redesign: the loss mixing and the predictor losses are computed inside
+ONE jitted train step (the reference re-walks module attributes per batch on
+host); eval accumulates confusion counts on device and transfers 4 ints per
+layer per batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vit_pruning_tpu.configs import PruneConfig, ViTConfig
+from vit_pruning_tpu.models.pruned_vit import pruned_vit_forward
+from vit_pruning_tpu.train.freeze import masked_adam, policy_for_loss_type
+from vit_pruning_tpu.train.losses import cross_entropy
+from vit_pruning_tpu.train.metrics import EvalAccumulator
+from vit_pruning_tpu.checkpoint import BestCheckpoint
+
+COSINE_LOSS_RATIO = 1.0  # main_model_utils.py:103
+
+
+def total_loss_fn(
+    params: dict,
+    batch: dict,
+    config: ViTConfig,
+    pcfg: PruneConfig,
+    loss_type: str,
+    rng: Optional[jax.Array],
+):
+    """Loss mixing of main_model_utils.py:141-165."""
+    out = pruned_vit_forward(
+        params, batch["pixel_values"], config, pcfg, train=True, rng=rng
+    )
+    cls_loss = cross_entropy(out["logits"], batch["labels"])
+    pred_loss = out["aux"]["pred_loss"].sum()  # Σ layer.loss (:145-148)
+    if loss_type == "classification":
+        total = cls_loss
+    elif loss_type == "cosine":
+        total = pred_loss
+    elif loss_type == "both":
+        total = cls_loss + COSINE_LOSS_RATIO * pred_loss
+    else:
+        raise ValueError(f"loss_type {loss_type!r}")
+    metrics = {
+        "loss": total,
+        "cls_loss": cls_loss,
+        "pred_loss": pred_loss,
+        "accuracy": jnp.mean((out["logits"].argmax(-1) == batch["labels"]).astype(jnp.float32)),
+    }
+    return total, metrics
+
+
+def make_train_step(
+    config: ViTConfig,
+    pcfg: PruneConfig,
+    loss_type: str,
+    optimizer: optax.GradientTransformation,
+) -> Callable:
+    """One jitted optimization step: (params, opt_state, batch, rng) ->
+    (params, opt_state, metrics)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: total_loss_fn(p, batch, config, pcfg, loss_type, rng),
+            has_aux=True,
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return step
+
+
+def make_eval_step(config: ViTConfig, pcfg: PruneConfig, full_testing: bool) -> Callable:
+    """(params, batch) -> dict of device scalars/arrays for EvalAccumulator.
+
+    full_testing=True adds the oracle pass + confusion counts, exactly like
+    `model(inputs, compute_cosine=True)` (main_model_utils.py:248-249).
+    """
+
+    @jax.jit
+    def step(params, batch):
+        out = pruned_vit_forward(
+            params, batch["pixel_values"], config, pcfg,
+            compute_oracle=full_testing, rng=jax.random.PRNGKey(0),
+        )
+        res = {
+            "correct": jnp.sum(out["logits"].argmax(-1) == batch["labels"]),
+            "keep_masks": out["keep_masks"],
+        }
+        if full_testing:
+            res["confusion"] = out["aux"]["confusion"]
+        return res
+
+    return step
+
+
+def evaluate(
+    params: dict,
+    batches,
+    config: ViTConfig,
+    pcfg: PruneConfig,
+    full_testing: bool = False,
+    log: Optional[Callable[[str], None]] = None,
+    eval_step: Optional[Callable] = None,
+):
+    """test() equivalent (main_model_utils.py:235-300).
+
+    Returns (accuracy, mlp_accuracy, EvalAccumulator).
+    """
+    if eval_step is None:
+        eval_step = make_eval_step(config, pcfg, full_testing)
+    acc = EvalAccumulator(config.num_layers)
+    for batch in batches:
+        res = eval_step(params, batch)
+        acc.update(
+            correct=np.asarray(res["correct"]),
+            batch=batch["labels"].shape[0],
+            confusion=np.asarray(res["confusion"]) if full_testing else None,
+            keep_masks=np.asarray(res["keep_masks"]),
+        )
+    if log is not None and full_testing:
+        log(acc.report())
+    elif log is not None:
+        log(f"Overall accuracy: {acc.accuracy:.2%}\n")
+    return acc.accuracy, acc.mlp_accuracy, acc
+
+
+def train(
+    params: dict,
+    train_batches,
+    test_batches,
+    config: ViTConfig,
+    pcfg: PruneConfig,
+    *,
+    num_epochs: int = 10,
+    loss_type: str = "both",
+    lr: float = 1e-4,
+    log: Optional[Callable[[str], None]] = None,
+    best: Optional[BestCheckpoint] = None,
+    seed: int = 0,
+    full_testing: bool = True,
+) -> dict:
+    """One training phase (main_model_utils.py:100-191). Returns params.
+
+    loss_type 'alternate' switches mlp/vit phases on epoch % 3
+    (main_model_utils.py:125-129).
+    """
+    log = log or (lambda s: None)
+    rng = jax.random.PRNGKey(seed)
+
+    def build(loss_t, policy=None):
+        opt = masked_adam(params, policy or policy_for_loss_type(loss_t), lr)
+        return opt, make_train_step(config, pcfg, loss_t, opt)
+
+    if loss_type != "alternate":
+        optimizer, step = build(loss_type)
+        opt_state = optimizer.init(params)
+    eval_step = make_eval_step(config, pcfg, full_testing)
+
+    for epoch in range(num_epochs):
+        if loss_type == "alternate":
+            phase = "cosine" if epoch % 3 == 0 else "classification"
+            optimizer, step = build(phase)
+            opt_state = optimizer.init(params)
+
+        running, nb = 0.0, 0
+        for batch in train_batches:
+            rng, sub = jax.random.split(rng)
+            params, opt_state, metrics = step(params, opt_state, batch, sub)
+            running += float(metrics["loss"])
+            nb += 1
+
+        val_acc, mlp_acc, _ = evaluate(
+            params, test_batches, config, pcfg,
+            full_testing=full_testing, log=log, eval_step=eval_step,
+        )
+        if best is not None:
+            best.update(val_acc, params)
+        log(f"Test accuracy after {epoch + 1} epochs: {val_acc:.2%}\n")
+
+    if best is not None:
+        log(f"Best accuracy: {best.best_accuracy * 100}%\n")
+    return params
+
+
+def phased_train(
+    params: dict,
+    train_batches,
+    test_batches,
+    config: ViTConfig,
+    pcfg: PruneConfig,
+    *,
+    train_type: str = "both",          # 'mlp' | 'vit' | 'both' | 'none' (hi_main.py:91)
+    loss_types=("cosine", "classification"),
+    num_epochs=(10, 10),
+    lrs=(1e-3, 1e-5),
+    log: Optional[Callable[[str], None]] = None,
+    best: Optional[BestCheckpoint] = None,
+    full_testing: bool = True,
+) -> dict:
+    """The hi_main.py:161-168 two-phase schedule."""
+    log = log or (lambda s: None)
+    acc0 = evaluate(params, test_batches, config, pcfg, full_testing=full_testing, log=log)
+    log(f"Test accuracy at starting: {acc0[:2]}")
+
+    if train_type in ("mlp", "both"):
+        params = train(
+            params, train_batches, test_batches, config, pcfg,
+            num_epochs=num_epochs[0], loss_type=loss_types[0], lr=lrs[0],
+            log=log, best=best, full_testing=full_testing,
+        )
+    if train_type in ("vit", "both"):
+        params = train(
+            params, train_batches, test_batches, config, pcfg,
+            num_epochs=num_epochs[1], loss_type=loss_types[1], lr=lrs[1],
+            log=log, best=None, full_testing=full_testing,
+        )
+    return params
