@@ -1,0 +1,94 @@
+"""Headline benchmark: images/sec/chip, DeiT-S at 50% token skip vs dense.
+
+Prints ONE JSON line:
+  {"metric": "deit_s_imgs_per_sec_chip_50pct_skip", "value": <img/s>,
+   "unit": "img/s/chip", "vs_baseline": <speedup over dense DeiT-S>}
+
+vs_baseline is the speedup of the pruned model over the dense DeiT-S forward
+measured on the same chip in the same run (BASELINE.json north star: >= 3.0
+at 50% skip). Timing forces a host transfer per iteration — on the axon
+relay, block_until_ready() does not synchronize.
+
+Extra detail (all modes/models) goes to stderr; stdout carries only the JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timeit(fn, args, iters: int, warmup: int = 2) -> float:
+    """Median seconds/call, synchronized via host transfer."""
+    for _ in range(warmup):
+        np.asarray(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(out)  # force host transfer == real sync on axon
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--model", default="deit_small")
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--skip", type=float, default=0.5)
+    args = ap.parse_args()
+
+    from vit_pruning_tpu.configs import PruneConfig, deit_base, deit_small, deit_tiny
+    from vit_pruning_tpu.models.pruned_vit import init_pruned_vit_params, pruned_vit_forward
+    from vit_pruning_tpu.models.vit import vit_forward
+
+    models = {"deit_tiny": deit_tiny, "deit_small": deit_small, "deit_base": deit_base}
+    config = models[args.model](num_labels=100)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    n = config.num_patches
+    k = max(1, int(round(n * (1.0 - args.skip))))
+    pcfg = PruneConfig(mode="topk", predictor="cls_mlp", loss="mse_attention", top_k=k)
+
+    log(f"model={args.model} batch={args.batch} dtype={args.dtype} "
+        f"keep k={k}/{n} devices={jax.devices()}")
+
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), config, pcfg)
+    params = jax.tree.map(lambda a: a.astype(dtype), params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (args.batch, 3, 224, 224), dtype)
+
+    dense = jax.jit(lambda p, v: vit_forward(p["backbone"], v, config)["logits"])
+    pruned = jax.jit(lambda p, v: pruned_vit_forward(p, v, config, pcfg)["logits"])
+
+    t_dense = timeit(dense, (params, x), args.iters)
+    t_pruned = timeit(pruned, (params, x), args.iters)
+
+    dense_ips = args.batch / t_dense
+    pruned_ips = args.batch / t_pruned
+    log(f"dense:  {dense_ips:.1f} img/s/chip ({t_dense * 1e3:.2f} ms/batch)")
+    log(f"pruned: {pruned_ips:.1f} img/s/chip ({t_pruned * 1e3:.2f} ms/batch)")
+    log(f"speedup: {pruned_ips / dense_ips:.2f}x (target >= 3.0 at 50% skip)")
+
+    print(json.dumps({
+        "metric": f"{args.model}_imgs_per_sec_chip_{int(args.skip * 100)}pct_skip",
+        "value": round(pruned_ips, 1),
+        "unit": "img/s/chip",
+        "vs_baseline": round(pruned_ips / dense_ips, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Mesh parallelism on 8 virtual CPU devices: sharded train step runs,
+matches the single-device step numerically, and shards what it should."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from vit_pruning_tpu.configs import PruneConfig, ViTConfig
+from vit_pruning_tpu.data.datasets import Batches, synthetic_dataset
+from vit_pruning_tpu.models.pruned_vit import init_pruned_vit_params
+from vit_pruning_tpu.parallel import (
+    make_mesh,
+    make_parallel_eval_step,
+    make_parallel_train_step,
+    param_pspecs,
+    shard_batch,
+    shard_params,
+)
+from vit_pruning_tpu.train.freeze import masked_adam
+from vit_pruning_tpu.train.harness import make_train_step
+
+CFG = ViTConfig(
+    image_size=16, patch_size=8, hidden_size=32, num_layers=2,
+    num_heads=2, mlp_dim=64, num_labels=4,
+)
+PCFG = PruneConfig(mode="mask", predictor="cls_mlp", loss="bce_oracle")
+
+
+def _batch(bs=16):
+    images, labels = synthetic_dataset(n=bs, image_size=16, num_labels=4)
+    return next(iter(Batches(images, labels, batch_size=bs, image_size=16)))
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(data=4, model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(data=16, model=2)
+
+
+def test_param_pspecs_cover_tree():
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, PCFG)
+    specs = param_pspecs(params)
+    # identical tree structure
+    assert jax.tree.structure(jax.tree.map(lambda _: 0, params)) == jax.tree.structure(
+        jax.tree.map(lambda _: 0, specs, is_leaf=lambda x: isinstance(x, P))
+    )
+
+
+@pytest.mark.parametrize("data,model", [(8, 1), (4, 2), (2, 2)])
+def test_parallel_train_step_runs_and_shards(data, model):
+    mesh = make_mesh(data=data, model=model)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, PCFG)
+    params = shard_params(params, mesh)
+    optimizer = masked_adam(params, "vit_mlp_train", 1e-3)
+    step = make_parallel_train_step(CFG, PCFG, "both", optimizer, mesh, params)
+    opt_state = optimizer.init(params)
+    batch = shard_batch(_batch(), mesh)
+
+    new_params, opt_state, metrics = step(params, opt_state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    if model > 1:
+        # fc1 weight is column-sharded over 'model'
+        fc1 = new_params["backbone"]["layers"]["mlp"]["fc1"]["w"]
+        assert fc1.sharding.spec == P(None, None, "model")
+
+
+def test_parallel_matches_single_device():
+    mesh = make_mesh(data=4, model=2)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, PCFG)
+    optimizer = masked_adam(params, "vit_mlp_train", 1e-3)
+    batch = _batch()
+    rng = jax.random.PRNGKey(1)
+
+    # single-device reference
+    step1 = make_train_step(CFG, PCFG, "both", optimizer)
+    p1, _, m1 = step1(
+        jax.tree.map(lambda a: a.copy(), params), optimizer.init(params), batch, rng
+    )
+
+    # sharded
+    sp = shard_params(params, mesh)
+    stepN = make_parallel_train_step(CFG, PCFG, "both", optimizer, mesh, sp)
+    pN, _, mN = stepN(sp, optimizer.init(sp), shard_batch(batch, mesh), rng)
+
+    assert np.isclose(float(m1["loss"]), float(mN["loss"]), rtol=1e-5)
+    d = max(
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(pN))
+    )
+    assert d < 1e-5
+
+
+def test_parallel_eval_step():
+    mesh = make_mesh(data=8, model=1)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, PCFG)
+    params = shard_params(params, mesh)
+    step = make_parallel_eval_step(CFG, PCFG, mesh, params, full_testing=True)
+    res = step(params, shard_batch(_batch(), mesh))
+    assert res["confusion"].shape == (CFG.num_layers, 2, 2)
+    assert int(res["correct"]) >= 0
