@@ -42,18 +42,40 @@ def timeit(fn, args, iters: int, warmup: int = 2) -> float:
     return float(np.median(times))
 
 
+def amortized(forward, inner: int):
+    """Wrap a forward into `inner` sequential evaluations inside ONE jitted
+    call, returning a scalar — amortizes the ~30 ms per-dispatch overhead of
+    the axon relay and keeps the host transfer tiny. The input is perturbed
+    per iteration so XLA cannot hoist the computation."""
+
+    @jax.jit
+    def fn(params, x):
+        def body(i, acc):
+            return acc + forward(params, x + i.astype(x.dtype) * 1e-6).sum()
+
+        return jax.lax.fori_loop(0, inner, body, jnp.zeros((), jnp.float32))
+
+    return fn
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--inner", type=int, default=8,
+                    help="forwards per jitted call (dispatch amortization)")
     ap.add_argument("--model", default="deit_small")
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--skip", type=float, default=0.5)
+    ap.add_argument("--kernels", default="auto", choices=["auto", "pallas", "xla"])
     args = ap.parse_args()
 
     from vit_pruning_tpu.configs import PruneConfig, deit_base, deit_small, deit_tiny
     from vit_pruning_tpu.models.pruned_vit import init_pruned_vit_params, pruned_vit_forward
     from vit_pruning_tpu.models.vit import vit_forward
+    from vit_pruning_tpu.ops.dispatch import set_kernel_mode
+
+    set_kernel_mode(args.kernels)
 
     models = {"deit_tiny": deit_tiny, "deit_small": deit_small, "deit_base": deit_base}
     config = models[args.model](num_labels=100)
@@ -70,11 +92,11 @@ def main():
     params = jax.tree.map(lambda a: a.astype(dtype), params)
     x = jax.random.normal(jax.random.PRNGKey(1), (args.batch, 3, 224, 224), dtype)
 
-    dense = jax.jit(lambda p, v: vit_forward(p["backbone"], v, config)["logits"])
-    pruned = jax.jit(lambda p, v: pruned_vit_forward(p, v, config, pcfg)["logits"])
+    dense = amortized(lambda p, v: vit_forward(p["backbone"], v, config)["logits"], args.inner)
+    pruned = amortized(lambda p, v: pruned_vit_forward(p, v, config, pcfg)["logits"], args.inner)
 
-    t_dense = timeit(dense, (params, x), args.iters)
-    t_pruned = timeit(pruned, (params, x), args.iters)
+    t_dense = timeit(dense, (params, x), args.iters) / args.inner
+    t_pruned = timeit(pruned, (params, x), args.iters) / args.inner
 
     dense_ips = args.batch / t_dense
     pruned_ips = args.batch / t_pruned

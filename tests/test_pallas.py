@@ -1,0 +1,93 @@
+"""Pallas kernels vs jnp reference implementations (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vit_pruning_tpu.ops.attention import attention_probs, mha
+from vit_pruning_tpu.ops.pallas.attention import fused_attention
+from vit_pruning_tpu.ops.pallas.mlp import fused_mlp
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_attention_matches_reference(masked):
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+    B, H, S, hd = 2, 3, 197, 64
+    q = jax.random.normal(k1, (B, H, S, hd))
+    k = jax.random.normal(k2, (B, H, S, hd))
+    v = jax.random.normal(k3, (B, H, S, hd))
+    mask = None
+    if masked:
+        mask = jax.random.uniform(k4, (B, S)) > 0.4
+        mask = mask.at[:, 0].set(True)
+
+    p = attention_probs(q, k, mask)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    got = fused_attention(q, k, v, mask, interpret=True)
+
+    err = np.abs(np.asarray(got - ref))
+    if masked:
+        # only rows of valid tokens are meaningful (invalid rows are
+        # overwritten by the residual passthrough upstream)
+        err = err * np.asarray(mask)[:, None, :, None]
+    assert err.max() < 1e-5
+
+
+def test_fused_attention_odd_shapes():
+    # 50-token sequence (compacted top-k path), head_dim 32
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(k1, (1, 2, 50, 32))
+    k = jax.random.normal(k2, (1, 2, 50, 32))
+    v = jax.random.normal(k3, (1, 2, 50, 32))
+    p = attention_probs(q, k, None)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    got = fused_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_mlp_matches_reference():
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(2), 4)
+    T, D, M = 300, 384, 1536
+    x = jax.random.normal(k1, (T, D))
+    w1 = jax.random.normal(k2, (D, M)) * 0.05
+    b1 = jax.random.normal(k3, (M,)) * 0.05
+    w2 = jax.random.normal(k4, (M, D)) * 0.05
+    b2 = jnp.ones((D,)) * 0.1
+
+    ref = jax.nn.gelu(x @ w1 + b1, approximate=False) @ w2 + b2
+    got = fused_mlp(x, w1, b1, w2, b2, block_t=128, block_m=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_mha_pallas_path_matches_jnp():
+    """End-to-end through ops.attention.mha with use_pallas (interpret via
+    monkeypatched flag is not needed — call fused path off-TPU through
+    interpret-enabled kernel)."""
+    key = jax.random.PRNGKey(3)
+    B, S, D, H = 2, 29, 64, 4
+    x = jax.random.normal(key, (B, S, D))
+    params = {
+        name: {
+            "w": jax.random.normal(jax.random.fold_in(key, i), (D, D)) * 0.05,
+            "b": jnp.zeros((D,)),
+        }
+        for i, name in enumerate(["q", "k", "v", "o"])
+    }
+    mask = jax.random.uniform(jax.random.fold_in(key, 9), (B, S)) > 0.3
+    mask = mask.at[:, 0].set(True)
+
+    ref = mha(x, params, H, token_mask=mask, use_pallas=False)
+    # fused path (interpret mode so it runs on CPU)
+    import vit_pruning_tpu.ops.pallas.attention as pa
+
+    orig = pa.fused_attention
+    pa.fused_attention = lambda q, k, v, m=None: orig(q, k, v, m, interpret=True)
+    try:
+        got = mha(x, params, H, token_mask=mask, use_pallas=True)
+    finally:
+        pa.fused_attention = orig
+
+    err = np.abs(np.asarray(got - ref)) * np.asarray(mask)[..., None]
+    assert err.max() < 1e-5

@@ -99,6 +99,7 @@ def pruned_layer_forward(
     nbr_idx,
     need_oracle: bool,
     rng: Optional[jax.Array],
+    use_pallas: bool = False,
 ):
     """One pruned encoder layer. Returns (x_out, info dict).
 
@@ -129,19 +130,19 @@ def pruned_layer_forward(
         if need_probs:
             dense_out, probs = vit_layer(x, layer_params, config, return_probs=True)
         else:
-            dense_out = vit_layer(x, layer_params, config)
+            dense_out = vit_layer(x, layer_params, config, use_pallas=use_pallas)
 
     if pcfg.mode == "mask":
         keep = threshold_keep_mask(scores, pcfg.mlp_threshold)
         mask = add_cls_keep(keep)
-        y = vit_layer(x, layer_params, config, token_mask=mask)
+        y = vit_layer(x, layer_params, config, token_mask=mask, use_pallas=use_pallas)
         out = jnp.where(mask[..., None], y, _passthrough(x, extras, mask))
     elif pcfg.mode == "topk":
         keep, _ = topk_keep_mask(scores, pcfg.top_k)
         mask = add_cls_keep(keep)
         cidx = compact_indices(mask, pcfg.top_k + 1)  # CLS first, ascending
         xc = gather_compact(x, cidx)
-        yc = vit_layer(xc, layer_params, config)
+        yc = vit_layer(xc, layer_params, config, use_pallas=use_pallas)
         out = scatter_back(_passthrough(x, extras, mask), cidx, yc)
     elif pcfg.mode == "oracle":
         sim_o = similarity_oracle(x[:, 1:], dense_out[:, 1:], pcfg.oracle_alpha)
@@ -156,7 +157,7 @@ def pruned_layer_forward(
         )
         keep = random_keep_mask(jax.random.fold_in(rng, layer_idx), b, n, budget)
         mask = add_cls_keep(keep)
-        y = vit_layer(x, layer_params, config, token_mask=mask)
+        y = vit_layer(x, layer_params, config, token_mask=mask, use_pallas=use_pallas)
         out = jnp.where(mask[..., None], y, x)
     else:
         raise ValueError(f"unknown prune mode {pcfg.mode!r}")
@@ -211,6 +212,7 @@ def pruned_vit_forward(
     train: bool = False,
     compute_oracle: bool = False,
     rng: Optional[jax.Array] = None,
+    use_pallas: Optional[bool] = None,
 ):
     """Full pruned forward.
 
@@ -224,6 +226,10 @@ def pruned_vit_forward(
     layer, exactly like the reference's training/full_testing paths.
     """
     need_oracle = train or compute_oracle
+    if use_pallas is None:
+        from vit_pruning_tpu.ops.dispatch import use_pallas as _resolve
+
+        use_pallas = _resolve(differentiable_needed=train)
     backbone = params["backbone"]
     pred = params.get("predictor")
 
@@ -235,7 +241,7 @@ def pruned_vit_forward(
     for i in range(config.num_layers):
         lp = _layer_slice(backbone["layers"], i)
         if not _is_active(pcfg, i):
-            x = vit_layer(x, lp, config)
+            x = vit_layer(x, lp, config, use_pallas=use_pallas)
             mask = jnp.ones(x.shape[:2], dtype=bool)
             info = {"keep_mask": mask, "scores": jnp.ones((x.shape[0], x.shape[1] - 1), x.dtype)}
             if need_oracle:
@@ -250,7 +256,7 @@ def pruned_vit_forward(
             x, info = pruned_layer_forward(
                 lp, pred, i, x, config, pcfg,
                 prev_keep=prev_keep, nbr_idx=nbr_idx,
-                need_oracle=need_oracle, rng=rng,
+                need_oracle=need_oracle, rng=rng, use_pallas=use_pallas,
             )
         prev_keep = info["keep_mask"]
         masks.append(info["keep_mask"])

@@ -43,8 +43,18 @@ def layer_norm(x: jnp.ndarray, params: dict, eps: float) -> jnp.ndarray:
     return y * params["g"] + params["b"]
 
 
-def mlp_block(x: jnp.ndarray, params: dict) -> jnp.ndarray:
+def mlp_block(x: jnp.ndarray, params: dict, use_pallas: bool = False) -> jnp.ndarray:
     """HF ViTIntermediate + ViTOutput: Linear -> GELU(erf) -> Linear."""
+    if use_pallas:
+        from vit_pruning_tpu.ops.pallas.mlp import fused_mlp
+
+        b, s, d = x.shape
+        y = fused_mlp(
+            x.reshape(b * s, d),
+            params["fc1"]["w"], params["fc1"]["b"],
+            params["fc2"]["w"], params["fc2"]["b"],
+        )
+        return y.reshape(b, s, d)
     h = x @ params["fc1"]["w"] + params["fc1"]["b"]
     h = jax.nn.gelu(h, approximate=False)
     return h @ params["fc2"]["w"] + params["fc2"]["b"]
@@ -57,6 +67,7 @@ def vit_layer(
     token_mask: Optional[jnp.ndarray] = None,
     head_mask: Optional[jnp.ndarray] = None,
     return_probs: bool = False,
+    use_pallas: bool = False,
 ):
     """One pre-LN transformer block (HF ViTLayer ordering).
 
@@ -65,6 +76,8 @@ def vit_layer(
     (himanshu/model_utils.py:91). Outputs at masked positions are computed
     but meaningless; callers overwrite them with the residual passthrough.
     """
+    from vit_pruning_tpu.ops.dispatch import attention_kernel_enabled
+
     h = layer_norm(x, params["ln1"], config.layernorm_eps)
     attn = mha(
         h,
@@ -73,12 +86,13 @@ def vit_layer(
         token_mask=token_mask,
         head_mask=head_mask,
         return_probs=return_probs,
+        use_pallas=use_pallas and attention_kernel_enabled(),
     )
     if return_probs:
         attn, probs = attn
     x = x + attn
     h = layer_norm(x, params["ln2"], config.layernorm_eps)
-    x = x + mlp_block(h, params["mlp"])
+    x = x + mlp_block(h, params["mlp"], use_pallas=use_pallas)
     if return_probs:
         return x, probs
     return x
@@ -110,12 +124,18 @@ def vit_forward(
     config: ViTConfig,
     head_mask: Optional[jnp.ndarray] = None,
     output_hidden_states: bool = False,
+    use_pallas: Optional[bool] = None,
 ):
     """Dense forward. Returns dict(logits, cls, last_hidden[, hidden_states]).
 
     head_mask: [L, H] float or None (HF get_head_mask semantics,
     himanshu/model_utils.py:220).
+    use_pallas: None = auto (Pallas TPU kernels for inference on TPU).
     """
+    if use_pallas is None:
+        from vit_pruning_tpu.ops.dispatch import use_pallas as _resolve
+
+        use_pallas = _resolve()
     x = embed(pixel_values, params["embed"], config)
 
     hidden_states = [x] if output_hidden_states else None
@@ -123,12 +143,13 @@ def vit_forward(
         # python loop (still one compiled program; L is static)
         for i in range(config.num_layers):
             hm = head_mask[i] if head_mask is not None else None
-            x = vit_layer(x, _layer_slice(params["layers"], i), config, head_mask=hm)
+            x = vit_layer(x, _layer_slice(params["layers"], i), config, head_mask=hm,
+                          use_pallas=use_pallas)
             if output_hidden_states:
                 hidden_states.append(x)
     else:
         def body(carry, layer_params):
-            return vit_layer(carry, layer_params, config), None
+            return vit_layer(carry, layer_params, config, use_pallas=use_pallas), None
 
         x, _ = jax.lax.scan(body, x, params["layers"])
 

@@ -57,6 +57,7 @@ def mha(
     token_mask: Optional[jnp.ndarray] = None,
     head_mask: Optional[jnp.ndarray] = None,
     return_probs: bool = False,
+    use_pallas: bool = False,
 ):
     """Full multi-head self-attention block (QKV proj -> attn -> out proj).
 
@@ -70,9 +71,17 @@ def mha(
     head_mask: [H] or [B, H] float — multiplies attention probabilities,
         matching HF's head_mask semantics (1.0 = keep head).
     """
-    q = _split_heads(x @ params["q"]["w"] + params["q"]["b"], num_heads)
-    k = _split_heads(x @ params["k"]["w"] + params["k"]["b"], num_heads)
-    v = _split_heads(x @ params["v"]["w"] + params["v"]["b"], num_heads)
+    # fused QKV: one [B*S, D] @ [D, 3D] matmul instead of three
+    wqkv = jnp.concatenate([params["q"]["w"], params["k"]["w"], params["v"]["w"]], axis=1)
+    bqkv = jnp.concatenate([params["q"]["b"], params["k"]["b"], params["v"]["b"]])
+    qkv = x @ wqkv + bqkv
+    q, k, v = (_split_heads(t, num_heads) for t in jnp.split(qkv, 3, axis=-1))
+
+    if use_pallas and not return_probs and head_mask is None:
+        from vit_pruning_tpu.ops.pallas.attention import fused_attention
+
+        ctx = fused_attention(q, k, v, token_mask)
+        return _merge_heads(ctx) @ params["o"]["w"] + params["o"]["b"]
 
     probs = attention_probs(q, k, token_mask)
     if head_mask is not None:

@@ -1,0 +1,66 @@
+"""Kernel dispatch: Pallas TPU kernels vs jnp/XLA reference.
+
+Global mode, settable by callers (bench, serving) or scoped via context
+manager:
+  'auto'   — Pallas on TPU backends for inference-shaped calls, XLA elsewhere
+  'pallas' — force Pallas (errors off-TPU unless interpret)
+  'xla'    — force the jnp reference path (always differentiable)
+
+The jnp implementations remain the semantics ground truth; Pallas kernels
+are validated against them in tests/test_pallas.py. The training path uses
+XLA (kernels currently define no custom VJP).
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import jax
+
+_MODE = "auto"
+
+
+def set_kernel_mode(mode: str):
+    global _MODE
+    if mode not in ("auto", "pallas", "xla"):
+        raise ValueError(f"kernel mode {mode!r} not in ('auto', 'pallas', 'xla')")
+    _MODE = mode
+
+
+def get_kernel_mode() -> str:
+    return _MODE
+
+
+@contextlib.contextmanager
+def kernel_mode(mode: str):
+    prev = _MODE
+    set_kernel_mode(mode)
+    try:
+        yield
+    finally:
+        set_kernel_mode(prev)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+def use_pallas(differentiable_needed: bool = False) -> bool:
+    """Should the current op use its Pallas kernel?"""
+    if _MODE == "xla":
+        return False
+    if differentiable_needed:
+        return False
+    if _MODE == "pallas":
+        return True
+    return _on_tpu()
+
+
+def attention_kernel_enabled() -> bool:
+    """The standalone fused-attention kernel currently loses to XLA's fused
+    attention at ViT shapes (the win needs the whole-layer megakernel);
+    'auto' keeps it off, 'pallas' forces it on."""
+    return _MODE == "pallas"
