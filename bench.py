@@ -68,10 +68,17 @@ def main():
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--skip", type=float, default=0.5)
     ap.add_argument("--kernels", default="auto", choices=["auto", "pallas", "xla"])
+    ap.add_argument("--mode", default="topk_prog", choices=["topk", "topk_prog", "mask"],
+                    help="topk_prog = progressive compaction (serving path); "
+                         "topk/mask = reference per-layer re-decide semantics")
     args = ap.parse_args()
 
     from vit_pruning_tpu.configs import PruneConfig, deit_base, deit_small, deit_tiny
-    from vit_pruning_tpu.models.pruned_vit import init_pruned_vit_params, pruned_vit_forward
+    from vit_pruning_tpu.models.pruned_vit import (
+        init_pruned_vit_params,
+        progressive_topk_forward,
+        pruned_vit_forward,
+    )
     from vit_pruning_tpu.models.vit import vit_forward
     from vit_pruning_tpu.ops.dispatch import set_kernel_mode
 
@@ -83,7 +90,7 @@ def main():
 
     n = config.num_patches
     k = max(1, int(round(n * (1.0 - args.skip))))
-    pcfg = PruneConfig(mode="topk", predictor="cls_mlp", loss="mse_attention", top_k=k)
+    pcfg = PruneConfig(mode=args.mode, predictor="cls_mlp", loss="mse_attention", top_k=k)
 
     log(f"model={args.model} batch={args.batch} dtype={args.dtype} "
         f"keep k={k}/{n} devices={jax.devices()}")
@@ -93,7 +100,11 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(1), (args.batch, 3, 224, 224), dtype)
 
     dense = amortized(lambda p, v: vit_forward(p["backbone"], v, config)["logits"], args.inner)
-    pruned = amortized(lambda p, v: pruned_vit_forward(p, v, config, pcfg)["logits"], args.inner)
+    if args.mode == "topk_prog":
+        pruned_fn = lambda p, v: progressive_topk_forward(p, v, config, pcfg)["logits"]
+    else:
+        pruned_fn = lambda p, v: pruned_vit_forward(p, v, config, pcfg)["logits"]
+    pruned = amortized(pruned_fn, args.inner)
 
     t_dense = timeit(dense, (params, x), args.iters) / args.inner
     t_pruned = timeit(pruned, (params, x), args.iters) / args.inner

@@ -108,6 +108,10 @@ PRUNE_MODES = (
     "mask",      # threshold mask on predictor scores; masked attention
                  #   (reference M1/M2 semantics, himanshu/model_utils.py:62-91)
     "topk",      # fixed top-k gather-compaction (M7, pradeep/using_attention.py:136-152)
+    "topk_prog", # progressive compaction: dropped tokens never rejoin, the
+                 #   sequence physically shrinks per keep_schedule — the
+                 #   serving-optimized variant of M7 (no per-layer
+                 #   scatter-back; logits only need CLS)
     "oracle",    # ground-truth masking from the similarity oracle itself
                  #   (M3/M11 upper-bound experiments)
     "random",    # random per-layer token pruning baseline
@@ -164,6 +168,9 @@ class PruneConfig:
     active_layers: Optional[Tuple[int, ...]] = None
     # per-layer token-keep budgets for mode="random" (None = use top_k for all)
     random_keep: Optional[Tuple[int, ...]] = None
+    # mode="topk_prog": patch tokens kept after each layer's selection
+    # (non-increasing; None = drop to top_k at layer 0, keep thereafter)
+    keep_schedule: Optional[Tuple[int, ...]] = None
     # focal loss parameters (main_model_utils.py:15-38)
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
@@ -185,7 +192,7 @@ class PruneConfig:
     @staticmethod
     def from_json(s: str) -> "PruneConfig":
         d = json.loads(s)
-        for k in ("active_layers", "random_keep"):
+        for k in ("active_layers", "random_keep", "keep_schedule"):
             if d.get(k) is not None:
                 d[k] = tuple(d[k])
         return PruneConfig(**d)

@@ -283,3 +283,80 @@ def pruned_vit_forward(
 def skip_ratio(keep_masks: jnp.ndarray) -> jnp.ndarray:
     """Fraction of tokens skipped per layer: [L, B, S] -> [L]."""
     return 1.0 - keep_masks.mean(axis=(1, 2), dtype=jnp.float32)
+
+
+def progressive_topk_forward(
+    params: dict,
+    pixel_values: jnp.ndarray,
+    config: ViTConfig,
+    pcfg: PruneConfig,
+    *,
+    use_pallas: Optional[bool] = None,
+):
+    """Serving-optimized progressive compaction (mode='topk_prog').
+
+    Unlike mode='topk' (the reference M7 semantics, where every layer
+    re-decides over all 197 positions and skipped tokens are scattered back,
+    pradeep/using_attention.py:136-176), dropped tokens here never rejoin:
+    the sequence physically shrinks following pcfg.keep_schedule, there is no
+    per-layer scatter, and the classifier reads CLS from the compacted
+    sequence. This removes ~40% of the pruned path's HBM traffic and is the
+    deployment configuration for the >=3x throughput target.
+
+    Returns dict(logits, cls, keep_masks [L, B, S] bool mapped back to
+    original token positions for viz parity, scores [L, B, N] in original
+    positions with -inf at dropped positions).
+    """
+    if use_pallas is None:
+        from vit_pruning_tpu.ops.dispatch import use_pallas as _resolve
+
+        use_pallas = _resolve()
+    backbone = params["backbone"]
+    pred = params.get("predictor")
+
+    x = embed(pixel_values, backbone["embed"], config)
+    b, s, d = x.shape
+    L = config.num_layers
+    schedule = pcfg.keep_schedule or tuple(
+        [pcfg.top_k] + [0] * (L - 1)
+    )  # 0 = no further drop
+    schedule = tuple(min(k, s - 1) if k else 0 for k in schedule)
+
+    # original position of each live token (CLS at 0)
+    orig = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    masks, scores_l = [], []
+    cur = s
+    for i in range(L):
+        lp = _layer_slice(backbone["layers"], i)
+        k_i = schedule[i]
+        if k_i and k_i < cur - 1 and _is_active(pcfg, i):
+            scores, _ = apply_predictor(pred, i, x, config, pcfg)  # [B, cur-1]
+            # report scores at original patch positions (dropped = -inf)
+            patch_orig = orig[:, 1:] - 1  # [B, cur-1] original patch indices
+            full_scores = jnp.full((b, s - 1), -jnp.inf, scores.dtype)
+            full_scores = jax.vmap(lambda f, idx, sc: f.at[idx].set(sc))(
+                full_scores, patch_orig, scores
+            )
+            scores_l.append(full_scores)
+            keep, _ = topk_keep_mask(scores, k_i)
+            mask = add_cls_keep(keep)
+            cidx = compact_indices(mask, k_i + 1)
+            x = gather_compact(x, cidx)
+            orig = jnp.take_along_axis(orig, cidx, axis=1)
+            cur = k_i + 1
+        else:
+            scores_l.append(jnp.full((b, s - 1), -jnp.inf, x.dtype))
+        x = vit_layer(x, lp, config, use_pallas=use_pallas)
+        live = jnp.zeros((b, s), bool)
+        live = jax.vmap(lambda m, o: m.at[o].set(True))(live, orig)
+        masks.append(live)
+
+    x = layer_norm(x, backbone["ln_f"], config.layernorm_eps)
+    cls = x[:, 0]
+    logits = cls @ backbone["head"]["w"] + backbone["head"]["b"]
+    return {
+        "logits": logits,
+        "cls": cls,
+        "keep_masks": jnp.stack(masks),
+        "scores": jnp.stack(scores_l),
+    }

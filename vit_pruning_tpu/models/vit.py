@@ -78,6 +78,16 @@ def vit_layer(
     """
     from vit_pruning_tpu.ops.dispatch import attention_kernel_enabled
 
+    if use_pallas and head_mask is None and not return_probs:
+        # whole-layer fused megakernel: minimal HBM traffic (the model is
+        # bandwidth-bound on this chip — see ops/pallas/layer.py)
+        from vit_pruning_tpu.ops.pallas.layer import fused_vit_layer
+
+        return fused_vit_layer(
+            x, params, config.num_heads,
+            eps=config.layernorm_eps, token_mask=token_mask,
+        )
+
     h = layer_norm(x, params["ln1"], config.layernorm_eps)
     attn = mha(
         h,
