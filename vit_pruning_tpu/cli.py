@@ -87,6 +87,19 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--checkpoint", required=True)
     e.add_argument("--test_batch_size", type=int, default=128)
     e.add_argument("--full_testing", action="store_true")
+
+    v = sub.add_parser(
+        "viz", help="generate the visualization suite (heatmaps, montages, report)"
+    )
+    v.add_argument("--model", choices=sorted(MODELS), default="vit_tiny")
+    v.add_argument("--dataset", choices=["cifar100", "imagefolder", "synthetic"],
+                   default="synthetic")
+    v.add_argument("--data_path", default="./data")
+    v.add_argument("--checkpoint", default=None)
+    v.add_argument("--mode", default="mask")
+    v.add_argument("--predictor", default="cls_mlp")
+    v.add_argument("--num_images", type=int, default=32)
+    v.add_argument("--out_dir", default="viz_out")
     return p
 
 
@@ -192,9 +205,80 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_viz(args) -> int:
+    """Generate V1-V8 artifacts: skip/oracle/error heatmaps, blackout
+    montages, skip bar chart, similarity analysis, HTML report."""
+    import numpy as np
+
+    from vit_pruning_tpu.data.datasets import synthetic_dataset, load_cifar100, load_image_folder
+    from vit_pruning_tpu.data.preprocess import vit_preprocess
+    from vit_pruning_tpu.viz import (
+        blackout_montage,
+        inference_report,
+        misclassified_heatmaps,
+        skipped_heatmaps,
+        skips_per_layer_chart,
+        to_skip_heatmaps,
+    )
+    from vit_pruning_tpu.viz.analysis import (
+        layer_similarity_profile,
+        plot_similarity_distributions,
+    )
+
+    config = MODELS[args.model]()
+    pcfg = PruneConfig(mode=args.mode, predictor=args.predictor)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), config, pcfg)
+    if args.checkpoint:
+        params = restore_checkpoint(args.checkpoint, params)
+
+    if args.dataset == "synthetic":
+        images, labels = synthetic_dataset(
+            n=args.num_images, image_size=config.image_size, num_labels=config.num_labels
+        )
+    elif args.dataset == "cifar100":
+        images, labels = load_cifar100(args.data_path, train=False, size=args.num_images)
+    else:
+        images, labels = load_image_folder(
+            args.data_path, size=args.num_images, image_size=config.image_size
+        )
+
+    import jax.numpy as jnp
+
+    x = vit_preprocess(jnp.asarray(images), config.image_size)
+    out = pruned_vit_forward(
+        params, x, config, pcfg, compute_oracle=True, rng=jax.random.PRNGKey(0)
+    )
+    km = np.asarray(out["keep_masks"])
+    ok = np.asarray(out["aux"]["oracle_keep"])
+
+    o = args.out_dir
+    skipped_heatmaps(km, os.path.join(o, "skipped_heatmaps"))
+    to_skip_heatmaps(ok, os.path.join(o, "to_skip_heatmaps"))
+    misclassified_heatmaps(km, ok, os.path.join(o, "misclassified_heatmaps"))
+    skips_per_layer_chart(km, os.path.join(o, "skips_per_layer.png"))
+    for bi in range(min(4, len(images))):
+        blackout_montage(
+            np.asarray(x[bi]), km[:, bi], config.patch_size,
+            out_path=os.path.join(o, f"blackout_img{bi}.png"),
+        )
+    sims = layer_similarity_profile(params["backbone"], x, config)
+    plot_similarity_distributions(sims, os.path.join(o, "cosine_similarity.png"))
+    hwc = [np.asarray(xi).transpose(1, 2, 0) * 0.5 + 0.5 for xi in x[:4]]
+    inference_report(
+        hwc, km[:, :4], np.asarray(out["logits"])[:4], config.patch_size,
+        out_path=os.path.join(o, "report.html"),
+    )
+    print(f"viz artifacts written to {o}/")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    return cmd_train(args) if args.command == "train" else cmd_eval(args)
+    if args.command == "train":
+        return cmd_train(args)
+    if args.command == "viz":
+        return cmd_viz(args)
+    return cmd_eval(args)
 
 
 if __name__ == "__main__":
