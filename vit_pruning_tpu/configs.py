@@ -127,6 +127,11 @@ PREDICTOR_KINDS = (
     "cnn",           # token->16ch, reshape to 14x14 grid, conv scorer (M16, recap/convprad3.py:507-557)
     "bottleneck",    # MLP [D,32,D,32,1]; middle activation approximates the
                      #   layer output for skipped tokens (M17, recap/prad_final_code.py:146-245)
+    "cls_cosine",    # parameter-free heuristic: keep tokens LEAST similar to
+                     #   CLS (M10, pradeep/adv_testing_ideas.py:51-100)
+    "key_mlp",       # MLP on per-token head-averaged attention-key vectors
+                     #   (M8/M9, himanshu/midlayer.py:250-330,
+                     #    pradeep/key_considerations.py:148-175,280-346)
     "none",          # no learned predictor (oracle / random / heuristic modes)
 )
 
@@ -171,6 +176,27 @@ class PruneConfig:
     # mode="topk_prog": patch tokens kept after each layer's selection
     # (non-increasing; None = drop to top_k at layer 0, keep thereafter)
     keep_schedule: Optional[Tuple[int, ...]] = None
+    # what skipped tokens carry forward instead of pure identity:
+    #   'none'          — identity residual (M1/M2/M7)
+    #   'cls_direction' — x + cls/||cls|| error term (M15 DHSLayer,
+    #                     recap/convprad.py:507-548)
+    #   'updatenet'     — learned residual update from [token ⊕ CLS]
+    #                     (M18, pradeep/old codes/updateNet.py:26-144)
+    # (the bottleneck predictor's approximation (M17) is implied by
+    #  predictor='bottleneck')
+    skip_correction: str = "none"
+    # M15 semantics (recap/convprad.py:188-190): prune only QUERY rows —
+    # skipped tokens still serve as keys/values for the kept tokens.
+    # False = M1/M2 semantics (skipped tokens fully absent from attention).
+    query_only: bool = False
+    # M13 measurement mode (pradeep/mid2.py:64-70): compute masks and stats
+    # but run the full dense layer for all tokens.
+    measure_only: bool = False
+    # oracle teacher trajectory: 'local' = dense pass from the pruned
+    # stream's layer input (M2); 'parallel' = maintain a separate unpruned
+    # stream through the whole encoder as the teacher (M19,
+    # mukunda/deit.py:241-343 `original` kwarg).
+    oracle_stream: str = "local"
     # focal loss parameters (main_model_utils.py:15-38)
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
@@ -185,6 +211,10 @@ class PruneConfig:
             raise ValueError(f"predictor {self.predictor!r} not in {PREDICTOR_KINDS}")
         if self.loss not in LOSS_KINDS:
             raise ValueError(f"loss {self.loss!r} not in {LOSS_KINDS}")
+        if self.skip_correction not in ("none", "cls_direction", "updatenet"):
+            raise ValueError(f"skip_correction {self.skip_correction!r}")
+        if self.oracle_stream not in ("local", "parallel"):
+            raise ValueError(f"oracle_stream {self.oracle_stream!r}")
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)

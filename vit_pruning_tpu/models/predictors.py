@@ -117,7 +117,31 @@ def init_predictor_params(
         return {"cnn": stack(cnn_init)}
     if kind == "bottleneck":
         return {"mlp": stack(lambda k: _init_mlp(k, [d, 32, d, 32, 1]))}
+    if kind == "cls_cosine":
+        return {}  # parameter-free heuristic (M10)
+    if kind == "key_mlp":
+        # reference key_mlp is [64, 768, 384, 1] on head-averaged keys
+        # (himanshu/midlayer.py:250-330); generalized to this config's dims
+        hd = config.head_dim
+        return {"key_mlp": stack(lambda k: _init_mlp(k, [hd, d, d // 2, 1]))}
     raise ValueError(f"unknown predictor kind {kind!r}")
+
+
+def init_updatenet_params(key: jax.Array, config: ViTConfig) -> dict:
+    """M18 UpdateNet [2D -> D/2 -> D] (pradeep/old codes/updateNet.py:26-37),
+    one per layer, stacked."""
+    d = config.hidden_size
+    keys = jax.random.split(key, config.num_layers)
+    per = [_init_mlp(k, [2 * d, d // 2, d]) for k in keys]
+    return jax.tree.map(lambda *a: jnp.stack(a), *per)
+
+
+def apply_updatenet(un_params: dict, layer_idx: int, hidden_states: jnp.ndarray) -> jnp.ndarray:
+    """Learned residual update for skipped tokens from [token ⊕ CLS]."""
+    patches = hidden_states[:, 1:]
+    cls = jnp.broadcast_to(hidden_states[:, 0:1], patches.shape)
+    inp = jnp.concatenate([patches, cls], axis=-1)
+    return _apply_mlp(_slice_layer(un_params, layer_idx), inp, final_sigmoid=False)
 
 
 # --- apply ---------------------------------------------------------------------
@@ -132,10 +156,12 @@ def apply_predictor(
     hidden_states: jnp.ndarray,
     config: ViTConfig,
     pcfg: PruneConfig,
+    layer_params: Optional[dict] = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Score patch tokens at one layer.
 
-    hidden_states: [B, S, D] (CLS at position 0).
+    hidden_states: [B, S, D] (CLS at position 0). layer_params: the encoder
+    layer's params (needed by 'key_mlp' to form attention-key vectors).
     Returns (scores [B, N] in (0,1), extras) — extras carries e.g. the
     bottleneck's middle activation used as the skipped-token approximation.
     """
@@ -186,6 +212,28 @@ def apply_predictor(
         # the middle activation approximates (layer(x) - x) for skipped tokens
         # (recap/prad_final_code.py:176-183: output[~mask] = middle + hidden)
         extras["approx_residual"] = middle
+    elif kind == "cls_cosine":
+        # M10 (pradeep/adv_testing_ideas.py:51-100): tokens MOST similar to
+        # CLS are skippable; keep-score = 1 - normalized cosine
+        cls = hidden_states[:, 0:1]
+        dot = jnp.sum(patches * cls, axis=-1)
+        nrm = jnp.linalg.norm(patches, axis=-1) * jnp.linalg.norm(cls, axis=-1)
+        cos01 = (dot / jnp.maximum(nrm, 1e-12) + 1.0) / 2.0
+        scores = 1.0 - cos01
+    elif kind == "key_mlp":
+        # M8/M9: head-averaged attention-key vectors as the predictor input
+        # (find_k_values, pradeep/key_considerations.py:148-175). Keys are
+        # formed from this layer's own Wk on the pre-LN'd input.
+        if layer_params is None:
+            raise ValueError("predictor 'key_mlp' needs layer_params")
+        from vit_pruning_tpu.models.vit import layer_norm
+
+        h = layer_norm(hidden_states, layer_params["ln1"], config.layernorm_eps)
+        keys = h @ layer_params["attn"]["k"]["w"] + layer_params["attn"]["k"]["b"]
+        b_, s_, _ = keys.shape
+        keys = keys.reshape(b_, s_, config.num_heads, config.head_dim).mean(axis=2)
+        scores = _apply_mlp(_slice_layer(pred_params["key_mlp"], layer_idx), keys[:, 1:])[..., 0]
+        extras["keys"] = keys
     else:
         raise ValueError(f"predictor kind {kind!r} has no apply rule")
 

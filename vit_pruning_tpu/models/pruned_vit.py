@@ -39,7 +39,12 @@ import jax
 import jax.numpy as jnp
 
 from vit_pruning_tpu.configs import PruneConfig, ViTConfig
-from vit_pruning_tpu.models.predictors import apply_predictor, init_predictor_params
+from vit_pruning_tpu.models.predictors import (
+    apply_predictor,
+    apply_updatenet,
+    init_predictor_params,
+    init_updatenet_params,
+)
 from vit_pruning_tpu.models.vit import embed, init_vit_params, layer_norm, vit_layer
 from vit_pruning_tpu.ops.masking import (
     add_cls_keep,
@@ -69,11 +74,14 @@ def init_pruned_vit_params(key: jax.Array, config: ViTConfig, pcfg: PruneConfig)
     weights, predictor heads random (hi_main.py:130-137 strict=False load).
     Use models.convert.torch_state_dict_to_params to fill 'backbone'.
     """
-    kb, kp = jax.random.split(key)
-    return {
+    kb, kp, ku = jax.random.split(key, 3)
+    params = {
         "backbone": init_vit_params(kb, config),
         "predictor": init_predictor_params(kp, config, pcfg),
     }
+    if pcfg.skip_correction == "updatenet":
+        params["updatenet"] = init_updatenet_params(ku, config)
+    return params
 
 
 def _layer_slice(layers: dict, i: int) -> dict:
@@ -100,6 +108,8 @@ def pruned_layer_forward(
     need_oracle: bool,
     rng: Optional[jax.Array],
     use_pallas: bool = False,
+    updatenet_params: Optional[dict] = None,
+    teacher: Optional[tuple] = None,
 ):
     """One pruned encoder layer. Returns (x_out, info dict).
 
@@ -119,14 +129,27 @@ def pruned_layer_forward(
     # --- score and select
     extras: dict = {}
     if pcfg.predictor != "none" and pred_params is not None:
-        scores, extras = apply_predictor(pred_params, layer_idx, x, config, pcfg)
+        scores, extras = apply_predictor(
+            pred_params, layer_idx, x, config, pcfg, layer_params=layer_params
+        )
     else:
         scores = jnp.ones((b, n), dtype=x.dtype)
+    if pcfg.skip_correction == "updatenet" and updatenet_params is not None:
+        # M18: learned residual update carried by skipped tokens
+        extras["approx_residual"] = apply_updatenet(updatenet_params, layer_idx, x)
+    elif pcfg.skip_correction == "cls_direction":
+        # M15 DHSLayer: skipped tokens get x + cls/||cls||
+        cls = x[:, 0:1]
+        extras["approx_residual"] = jnp.broadcast_to(
+            cls / jnp.maximum(jnp.linalg.norm(cls, axis=-1, keepdims=True), 1e-12),
+            x[:, 1:].shape,
+        )
 
     dense_out = None
     probs = None
     need_probs = need_oracle and pcfg.loss == "mse_attention"
-    if pcfg.mode == "oracle" or need_oracle:
+    if (pcfg.mode == "oracle" or pcfg.measure_only or need_probs
+            or (need_oracle and teacher is None)):
         if need_probs:
             dense_out, probs = vit_layer(x, layer_params, config, return_probs=True)
         else:
@@ -135,8 +158,17 @@ def pruned_layer_forward(
     if pcfg.mode == "mask":
         keep = threshold_keep_mask(scores, pcfg.mlp_threshold)
         mask = add_cls_keep(keep)
-        y = vit_layer(x, layer_params, config, token_mask=mask, use_pallas=use_pallas)
-        out = jnp.where(mask[..., None], y, _passthrough(x, extras, mask))
+        if pcfg.measure_only:
+            # M13 (pradeep/mid2.py:64-70): stats only, dense execution
+            out = dense_out
+        elif pcfg.query_only:
+            # M15 (recap/convprad.py:188-190): skipped tokens stay in K/V;
+            # only their own (query) outputs are discarded
+            y = vit_layer(x, layer_params, config, use_pallas=use_pallas)
+            out = jnp.where(mask[..., None], y, _passthrough(x, extras, mask))
+        else:
+            y = vit_layer(x, layer_params, config, token_mask=mask, use_pallas=use_pallas)
+            out = jnp.where(mask[..., None], y, _passthrough(x, extras, mask))
     elif pcfg.mode == "topk":
         keep, _ = topk_keep_mask(scores, pcfg.top_k)
         mask = add_cls_keep(keep)
@@ -165,15 +197,23 @@ def pruned_layer_forward(
     info = {"keep_mask": mask, "scores": scores}
 
     if need_oracle:
-        dense_p = jax.lax.stop_gradient(dense_out[:, 1:])
-        sim = similarity_oracle(jax.lax.stop_gradient(x[:, 1:]), dense_p, pcfg.oracle_alpha)
+        if teacher is not None:
+            # M19 parallel teacher stream (mukunda/deit.py:241-343): oracle
+            # from the UNPRUNED trajectory, not the pruned stream's input
+            t_in, t_out = teacher
+            oracle_in = jax.lax.stop_gradient(t_in[:, 1:])
+            dense_p = jax.lax.stop_gradient(t_out[:, 1:])
+        else:
+            oracle_in = jax.lax.stop_gradient(x[:, 1:])
+            dense_p = jax.lax.stop_gradient(dense_out[:, 1:])
+        sim = similarity_oracle(oracle_in, dense_p, pcfg.oracle_alpha)
         oracle_keep = sim < pcfg.sim_threshold
         if pcfg.loss == "bce_oracle":
             pred_loss = weighted_bce_oracle(scores, oracle_keep)
         elif pcfg.loss == "mse_cosine":
-            dot = jnp.sum(dense_p * jax.lax.stop_gradient(x[:, 1:]), axis=-1)
-            nrm = jnp.linalg.norm(dense_p, axis=-1) * jnp.linalg.norm(x[:, 1:], axis=-1)
-            cos = (dot / jnp.maximum(jax.lax.stop_gradient(nrm), 1e-12) + 1.0) / 2.0
+            dot = jnp.sum(dense_p * oracle_in, axis=-1)
+            nrm = jnp.linalg.norm(dense_p, axis=-1) * jnp.linalg.norm(oracle_in, axis=-1)
+            cos = (dot / jnp.maximum(nrm, 1e-12) + 1.0) / 2.0
             pred_loss = mse_cosine_loss(scores, cos)
         elif pcfg.loss == "mse_attention":
             target = jax.lax.stop_gradient(probs[:, :, 0, 1:].mean(axis=1))
@@ -236,10 +276,17 @@ def pruned_vit_forward(
     x = embed(pixel_values, backbone["embed"], config)
     nbr_idx = jnp.asarray(neighbor_index_table(config.grid_size))
 
+    use_teacher = need_oracle and pcfg.oracle_stream == "parallel"
+    x_teacher = x if use_teacher else None
     masks, scores_l, aux_l = [], [], []
     prev_keep = None
     for i in range(config.num_layers):
         lp = _layer_slice(backbone["layers"], i)
+        teacher = None
+        if use_teacher:
+            t_out = vit_layer(x_teacher, lp, config, use_pallas=use_pallas)
+            teacher = (x_teacher, t_out)
+            x_teacher = t_out
         if not _is_active(pcfg, i):
             x = vit_layer(x, lp, config, use_pallas=use_pallas)
             mask = jnp.ones(x.shape[:2], dtype=bool)
@@ -257,6 +304,7 @@ def pruned_vit_forward(
                 lp, pred, i, x, config, pcfg,
                 prev_keep=prev_keep, nbr_idx=nbr_idx,
                 need_oracle=need_oracle, rng=rng, use_pallas=use_pallas,
+                updatenet_params=params.get("updatenet"), teacher=teacher,
             )
         prev_keep = info["keep_mask"]
         masks.append(info["keep_mask"])

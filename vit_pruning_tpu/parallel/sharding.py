@@ -47,10 +47,11 @@ def param_pspecs(params: dict) -> dict:
         }
 
     if "backbone" in params:
-        return {
-            "backbone": backbone_specs(params["backbone"]),
-            "predictor": replicate(params.get("predictor")),
-        }
+        specs = {"backbone": backbone_specs(params["backbone"])}
+        for k in params:
+            if k != "backbone":
+                specs[k] = replicate(params[k])  # predictor / updatenet: tiny
+        return specs
     return backbone_specs(params)
 
 

@@ -27,7 +27,11 @@ def _fill(tree, value: bool):
 
 
 def freeze_mask(params: dict, policy: str) -> dict:
-    """Boolean pytree: True = trainable under `policy`."""
+    """Boolean pytree: True = trainable under `policy`.
+
+    Predictor-adjacent trees (the M18 'updatenet' corrector) follow the
+    predictor's trainability.
+    """
     if policy not in POLICIES:
         raise ValueError(f"policy {policy!r} not in {POLICIES}")
     backbone = params["backbone"]
@@ -47,7 +51,12 @@ def freeze_mask(params: dict, policy: str) -> dict:
         bb = _fill(backbone, False)
         bb["head"] = _fill(backbone["head"], True)
         pd = _fill(pred, True)
-    return {"backbone": bb, "predictor": pd}
+    mask = {"backbone": bb, "predictor": pd}
+    for extra in params:
+        if extra not in mask:
+            pred_trainable = policy in ("vit_mlp_train", "mlp_train", "classifier_mlp_train")
+            mask[extra] = _fill(params[extra], pred_trainable)
+    return mask
 
 
 def policy_for_loss_type(loss_type: str) -> str:
