@@ -1,0 +1,80 @@
+"""Harness utilities: sweep, housekeeping, profiling."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from vit_pruning_tpu.configs import PruneConfig, ViTConfig
+from vit_pruning_tpu.data.datasets import Batches, synthetic_dataset
+from vit_pruning_tpu.utils.housekeeping import (
+    export_test_images,
+    pick_device,
+    remove_unwanted,
+)
+from vit_pruning_tpu.utils.profiling import complexity_report, throughput
+from vit_pruning_tpu.utils.sweep import grid, sweep
+
+CFG = ViTConfig(
+    image_size=16, patch_size=8, hidden_size=32, num_layers=2,
+    num_heads=2, mlp_dim=64, num_labels=4,
+)
+
+
+def test_grid():
+    g = grid(sim_threshold=[0.85, 0.9], mode=["mask", "topk"])
+    assert len(g) == 4
+    assert {"sim_threshold", "mode"} == set(g[0])
+
+
+def test_sweep_runs():
+    images, labels = synthetic_dataset(n=32, image_size=16, num_labels=4)
+    data = Batches(images, labels, batch_size=16, image_size=16)
+    df = sweep(
+        grid(sim_threshold=[0.9], mlp_threshold=[0.4, 0.6]),
+        CFG,
+        PruneConfig(mode="mask", predictor="cls_mlp"),
+        data, data,
+        train_type="mlp", num_epochs=(1, 0),
+    )
+    assert len(df) == 2
+    assert {"accuracy", "mlp_accuracy", "mean_skip"} <= set(df.columns)
+
+
+def test_remove_unwanted(tmp_path):
+    logs = tmp_path / "logs"
+    models = tmp_path / "models"
+    logs.mkdir(); models.mkdir()
+    (logs / "short.txt").write_text("one line\n")
+    (logs / "long.txt").write_text("\n".join(["line"] * 20))
+    (models / "short").mkdir()
+    (models / "long").mkdir()
+    removed = remove_unwanted(str(logs), str(models), min_lines=10)
+    assert removed == ["short"]
+    assert not (logs / "short.txt").exists()
+    assert not (models / "short").exists()
+    assert (logs / "long.txt").exists() and (models / "long").exists()
+
+
+def test_export_test_images(tmp_path):
+    images, labels = synthetic_dataset(n=10, image_size=16)
+    img_dir, label_path = export_test_images(images, labels, str(tmp_path / "td"), limit=5)
+    assert len(os.listdir(img_dir)) == 5
+    lines = open(label_path).read().strip().split("\n")
+    assert len(lines) == 5 and lines[0].startswith("img_00000.png ")
+
+
+def test_pick_device():
+    assert pick_device() in jax.devices()
+
+
+def test_throughput_and_complexity():
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x * 2)
+    r = throughput(f, (jnp.ones((4, 4)),), batch_size=4, iters=2, warmup=1)
+    assert r["images_per_sec"] > 0
+    rep = complexity_report(CFG, PruneConfig(mode="topk", top_k=2), images_per_sec=100.0)
+    assert "Dense FLOPs/image" in rep and "Pruned FLOPs/image" in rep
