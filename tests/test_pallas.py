@@ -91,3 +91,34 @@ def test_mha_pallas_path_matches_jnp():
 
     err = np.abs(np.asarray(got - ref)) * np.asarray(mask)[..., None]
     assert err.max() < 1e-5
+
+
+def test_differentiable_fused_layer_grads_match():
+    """Custom-VJP megakernel: grads equal the jnp reference's."""
+    from vit_pruning_tpu.configs import ViTConfig
+    from vit_pruning_tpu.models.vit import init_vit_params, vit_layer
+    from vit_pruning_tpu.ops.pallas.layer import differentiable_fused_layer
+
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=64, num_layers=1,
+                    num_heads=2, mlp_dim=128, num_labels=10)
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 17, 64))
+    mask = jax.random.uniform(jax.random.PRNGKey(2), (2, 17)) > 0.3
+    mask = mask.at[:, 0].set(True)
+
+    f = differentiable_fused_layer(cfg.num_heads, cfg.layernorm_eps, interpret=True)
+
+    def loss_fused(x, p):
+        y = f(x, p, mask)
+        return (jnp.where(mask[..., None], y, x) ** 2).sum()
+
+    def loss_ref(x, p):
+        y = vit_layer(x, p, cfg, token_mask=mask)
+        return (jnp.where(mask[..., None], y, x) ** 2).sum()
+
+    gx1, gp1 = jax.grad(loss_fused, argnums=(0, 1))(x, lp)
+    gx2, gp2 = jax.grad(loss_ref, argnums=(0, 1))(x, lp)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=2e-4, rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(gp1), jax.tree.leaves(gp2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)

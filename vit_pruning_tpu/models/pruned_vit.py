@@ -266,10 +266,19 @@ def pruned_vit_forward(
     layer, exactly like the reference's training/full_testing paths.
     """
     need_oracle = train or compute_oracle
+    if pcfg.mode == "topk_prog" and not need_oracle:
+        # serving path: progressive compaction (no oracle instrumentation)
+        return progressive_topk_forward(
+            params, pixel_values, config, pcfg, use_pallas=use_pallas
+        )
+    if pcfg.mode == "topk_prog":
+        # training/oracle passes use the per-layer re-decide semantics the
+        # predictor is trained with (M7); deployment then runs progressive
+        pcfg = pcfg.replace(mode="topk")
     if use_pallas is None:
         from vit_pruning_tpu.ops.dispatch import use_pallas as _resolve
 
-        use_pallas = _resolve(differentiable_needed=train)
+        use_pallas = _resolve()
     backbone = params["backbone"]
     pred = params.get("predictor")
 

@@ -80,12 +80,13 @@ def vit_layer(
 
     if use_pallas and head_mask is None and not return_probs:
         # whole-layer fused megakernel: minimal HBM traffic (the model is
-        # bandwidth-bound on this chip — see ops/pallas/layer.py)
-        from vit_pruning_tpu.ops.pallas.layer import fused_vit_layer
+        # bandwidth-bound on this chip — see ops/pallas/layer.py). The
+        # differentiable wrapper makes it usable under grad (backward
+        # recomputes through the jnp reference).
+        from vit_pruning_tpu.ops.pallas.layer import differentiable_fused_layer
 
-        return fused_vit_layer(
-            x, params, config.num_heads,
-            eps=config.layernorm_eps, token_mask=token_mask,
+        return differentiable_fused_layer(config.num_heads, config.layernorm_eps)(
+            x, params, token_mask
         )
 
     h = layer_norm(x, params["ln1"], config.layernorm_eps)

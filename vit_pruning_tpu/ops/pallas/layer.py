@@ -102,6 +102,45 @@ def _kernel(
     o_ref[:] = (x1 + m2).astype(o_ref.dtype).reshape(bt, s, d)
 
 
+@functools.lru_cache(maxsize=None)
+def differentiable_fused_layer(num_heads: int, eps: float, interpret: bool = False):
+    """fused_vit_layer with a custom VJP: forward runs the Pallas megakernel,
+    backward recomputes through the jnp reference layer and differentiates
+    that (rematerialization — the standard trade for fused forwards). Token
+    masks are non-differentiable.
+
+    Returns f(x, params, token_mask) -> y. Cached per (heads, eps).
+    """
+    from vit_pruning_tpu.models import vit as vit_mod
+    from vit_pruning_tpu.ops.attention import mha
+
+    def _ref(x, params, token_mask):
+        # jnp reference path with matching semantics (no pallas, no probs)
+        h = vit_mod.layer_norm(x, params["ln1"], eps)
+        attn = mha(h, params["attn"], num_heads, token_mask=token_mask)
+        x1 = x + attn
+        h2 = vit_mod.layer_norm(x1, params["ln2"], eps)
+        return x1 + vit_mod.mlp_block(h2, params["mlp"])
+
+    @jax.custom_vjp
+    def f(x, params, token_mask):
+        return fused_vit_layer(
+            x, params, num_heads, eps=eps, token_mask=token_mask, interpret=interpret
+        )
+
+    def f_fwd(x, params, token_mask):
+        return f(x, params, token_mask), (x, params, token_mask)
+
+    def f_bwd(res, g):
+        x, params, token_mask = res
+        _, vjp = jax.vjp(lambda x_, p_: _ref(x_, p_, token_mask), x, params)
+        dx, dp = vjp(g)
+        return dx, dp, None
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "eps", "block_b", "interpret")
 )
