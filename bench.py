@@ -71,6 +71,9 @@ def main():
     ap.add_argument("--mode", default="topk_prog", choices=["topk", "topk_prog", "mask"],
                     help="topk_prog = progressive compaction (serving path); "
                          "topk/mask = reference per-layer re-decide semantics")
+    ap.add_argument("--full", action="store_true",
+                    help="sweep DeiT-T/S x {0,25,50}%% skip (SURVEY §7 step 8); "
+                         "matrix to stderr + bench_full.json, headline JSON on stdout")
     args = ap.parse_args()
 
     from vit_pruning_tpu.configs import PruneConfig, deit_base, deit_small, deit_tiny
@@ -85,8 +88,55 @@ def main():
     set_kernel_mode(args.kernels)
 
     models = {"deit_tiny": deit_tiny, "deit_small": deit_small, "deit_base": deit_base}
-    config = models[args.model](num_labels=100)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    def measure(model_name: str, skip: float, mode: str) -> dict:
+        config = models[model_name](num_labels=100)
+        n = config.num_patches
+        params0 = init_pruned_vit_params(
+            jax.random.PRNGKey(0), config,
+            PruneConfig(mode="mask", predictor="cls_mlp"),
+        )
+        params0 = jax.tree.map(lambda a: a.astype(dtype), params0)
+        xb = jax.random.normal(jax.random.PRNGKey(1), (args.batch, 3, 224, 224), dtype)
+        if skip <= 0:
+            fn = amortized(
+                lambda p, v: vit_forward(p["backbone"], v, config)["logits"], args.inner
+            )
+            t = timeit(fn, (params0, xb), args.iters) / args.inner
+        else:
+            kk = max(1, int(round(n * (1.0 - skip))))
+            pc = PruneConfig(mode=mode, predictor="cls_mlp", loss="mse_attention", top_k=kk)
+            if mode == "topk_prog":
+                f = lambda p, v: progressive_topk_forward(p, v, config, pc)["logits"]
+            else:
+                f = lambda p, v: pruned_vit_forward(p, v, config, pc)["logits"]
+            fn = amortized(f, args.inner)
+            t = timeit(fn, (params0, xb), args.iters) / args.inner
+        return {"model": model_name, "skip": skip, "mode": mode if skip > 0 else "dense",
+                "img_per_sec_chip": round(args.batch / t, 1), "ms_per_batch": round(t * 1e3, 2)}
+
+    if args.full:
+        import itertools
+
+        rows = []
+        for mname, skip in itertools.product(["deit_tiny", "deit_small"], [0.0, 0.25, 0.5]):
+            row = measure(mname, skip, args.mode)
+            rows.append(row)
+            log(row)
+        with open("bench_full.json", "w") as fh:
+            json.dump(rows, fh, indent=1)
+        dense = next(r for r in rows if r["model"] == "deit_small" and r["skip"] == 0.0)
+        half = next(r for r in rows if r["model"] == "deit_small" and r["skip"] == 0.5)
+        print(json.dumps({
+            "metric": "deit_small_imgs_per_sec_chip_50pct_skip",
+            "value": half["img_per_sec_chip"],
+            "unit": "img/s/chip",
+            "vs_baseline": round(half["img_per_sec_chip"] / dense["img_per_sec_chip"], 3),
+        }))
+        return
+
+    config = models[args.model](num_labels=100)
 
     n = config.num_patches
     k = max(1, int(round(n * (1.0 - args.skip))))

@@ -64,7 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--sim_threshold", type=float, default=0.9)
     t.add_argument("--mlp_threshold", type=float, default=0.5)
     t.add_argument("--avg_threshold", type=float, default=0.0)
-    t.add_argument("--mode", choices=["mask", "topk", "oracle", "random", "none"],
+    t.add_argument("--mode",
+                   choices=["mask", "topk", "topk_prog", "oracle", "random", "none"],
                    default="mask")
     t.add_argument("--predictor", default="cls_mlp")
     t.add_argument("--loss", default="bce_oracle",
