@@ -141,3 +141,25 @@ def test_random_init_runs():
     out = vit_forward(params, x, config)
     assert out["logits"].shape == (2, 10)
     assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+def test_interpolate_pos_embed():
+    """Resolution change via bicubic pos-embed interpolation
+    (HF interpolate_pos_encoding equivalent, himanshu/model_utils.py:196,228)."""
+    from vit_pruning_tpu.models.convert import interpolate_pos_embed
+
+    config = ViTConfig(
+        image_size=32, patch_size=8, hidden_size=64, num_layers=2,
+        num_heads=4, mlp_dim=128, num_labels=10,
+    )
+    params = init_vit_params(jax.random.PRNGKey(0), config)
+    new_params, new_cfg = interpolate_pos_embed(params, config, 64)
+    assert new_cfg.image_size == 64 and new_cfg.num_patches == 64
+    assert new_params["embed"]["pos"].shape == (1, 65, 64)
+    # CLS position embedding unchanged
+    np.testing.assert_array_equal(
+        np.asarray(new_params["embed"]["pos"][:, 0]),
+        np.asarray(params["embed"]["pos"][:, 0]),
+    )
+    out = vit_forward(new_params, jnp.zeros((1, 3, 64, 64)), new_cfg)
+    assert np.isfinite(np.asarray(out["logits"])).all()

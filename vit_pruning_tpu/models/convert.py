@@ -101,6 +101,38 @@ def torch_state_dict_to_params(
     }
 
 
+def interpolate_pos_embed(params: dict, config: ViTConfig, new_image_size: int) -> tuple:
+    """Resize position embeddings to a new input resolution.
+
+    The HF ViT `interpolate_pos_encoding` capability the reference forwards
+    (himanshu/model_utils.py:196,228): bicubic-interpolate the patch-grid
+    position embeddings, keep the CLS embedding. Returns (new_params,
+    new_config). Operates on either a backbone tree or a pruned-model tree.
+    """
+    tree = params["backbone"] if "backbone" in params else params
+    pos = tree["embed"]["pos"]  # [1, S, D]
+    d = pos.shape[-1]
+    old_grid = config.grid_size
+    new_grid = new_image_size // config.patch_size
+
+    cls_pos = pos[:, :1]
+    patch_pos = pos[:, 1:].reshape(1, old_grid, old_grid, d)
+    resized = jax.image.resize(
+        patch_pos, (1, new_grid, new_grid, d), method="bicubic"
+    ).reshape(1, new_grid * new_grid, d)
+    new_pos = jnp.concatenate([cls_pos, resized], axis=1)
+
+    new_tree = dict(tree)
+    new_tree["embed"] = dict(tree["embed"])
+    new_tree["embed"]["pos"] = new_pos
+    if "backbone" in params:
+        out = dict(params)
+        out["backbone"] = new_tree
+    else:
+        out = new_tree
+    return out, config.replace(image_size=new_image_size)
+
+
 def load_hf_vit(model_name_or_model, config: Optional[ViTConfig] = None):
     """Load an HF ViT classification model (object or hub name) -> (params, config).
 
