@@ -253,6 +253,7 @@ def pruned_vit_forward(
     compute_oracle: bool = False,
     rng: Optional[jax.Array] = None,
     use_pallas: Optional[bool] = None,
+    remat: bool = False,
 ):
     """Full pruned forward.
 
@@ -309,11 +310,19 @@ def pruned_vit_forward(
                     confusion=jnp.zeros((2, 2), jnp.int32),
                 )
         else:
-            x, info = pruned_layer_forward(
-                lp, pred, i, x, config, pcfg,
-                prev_keep=prev_keep, nbr_idx=nbr_idx,
-                need_oracle=need_oracle, rng=rng, use_pallas=use_pallas,
-                updatenet_params=params.get("updatenet"), teacher=teacher,
+            def layer_fn(lp_, pred_, x_, prev_keep_, rng_, un_, teacher_, _i=i):
+                return pruned_layer_forward(
+                    lp_, pred_, _i, x_, config, pcfg,
+                    prev_keep=prev_keep_, nbr_idx=nbr_idx,
+                    need_oracle=need_oracle, rng=rng_, use_pallas=use_pallas,
+                    updatenet_params=un_, teacher=teacher_,
+                )
+            if remat:
+                # trade FLOPs for memory on long fine-tunes (the reference's
+                # gradient_checkpointing branch, model_utils.py:154-160)
+                layer_fn = jax.checkpoint(layer_fn)
+            x, info = layer_fn(
+                lp, pred, x, prev_keep, rng, params.get("updatenet"), teacher
             )
         prev_keep = info["keep_mask"]
         masks.append(info["keep_mask"])
