@@ -78,3 +78,13 @@ def test_throughput_and_complexity():
     assert r["images_per_sec"] > 0
     rep = complexity_report(CFG, PruneConfig(mode="topk", top_k=2), images_per_sec=100.0)
     assert "Dense FLOPs/image" in rep and "Pruned FLOPs/image" in rep
+
+
+def test_html_log_sink(tmp_path):
+    from vit_pruning_tpu.utils.run_logging import RunLogger
+
+    log = RunLogger("run1", str(tmp_path), quiet=True, html=True)
+    log("hello <world>")
+    log.close()
+    html = open(tmp_path / "run1.html").read()
+    assert "hello &lt;world&gt;" in html and "<html>" in html

@@ -146,3 +146,21 @@ def test_head_importance_shape():
     imp = head_importance(params, _x(), CFG)
     assert imp.shape == (CFG.num_layers, CFG.num_heads)
     assert (imp >= 0).all() and (imp <= 1.001).all()
+
+
+def test_layer_skip_threshold():
+    """M8: an image whose mean keep-score is low bypasses the whole layer."""
+    pcfg = PruneConfig(mode="mask", predictor="cls_cosine", layer_skip_threshold=1.1)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    x = _x()
+    out = pruned_vit_forward(params, x, CFG, pcfg)
+    # threshold 1.1 > any mean score => every layer skipped for every image
+    km = np.asarray(out["keep_masks"])
+    assert km[:, :, 1:].sum() == 0  # only CLS reported live
+    # logits equal a no-layer model (embed -> ln -> head)
+    from vit_pruning_tpu.models.vit import embed, layer_norm
+    bb = params["backbone"]
+    h = embed(x, bb["embed"], CFG)
+    h = layer_norm(h, bb["ln_f"], CFG.layernorm_eps)
+    ref = h[:, 0] @ bb["head"]["w"] + bb["head"]["b"]
+    np.testing.assert_allclose(np.asarray(out["logits"]), np.asarray(ref), atol=1e-5)

@@ -192,6 +192,12 @@ class PruneConfig:
     # M13 measurement mode (pradeep/mid2.py:64-70): compute masks and stats
     # but run the full dense layer for all tokens.
     measure_only: bool = False
+    # M8 whole-layer skipping (himanshu/midlayer.py:250-330): when the mean
+    # keep-score of an image falls below this threshold, that image bypasses
+    # the ENTIRE layer (identity). 0 disables. Note: in a static XLA program
+    # the layer is still computed and deselected per image; FLOP savings
+    # need serving-level dynamic batching.
+    layer_skip_threshold: float = 0.0
     # oracle teacher trajectory: 'local' = dense pass from the pruned
     # stream's layer input (M2); 'parallel' = maintain a separate unpruned
     # stream through the whole encoder as the teacher (M19,

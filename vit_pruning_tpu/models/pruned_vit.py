@@ -194,6 +194,14 @@ def pruned_layer_forward(
     else:
         raise ValueError(f"unknown prune mode {pcfg.mode!r}")
 
+    if pcfg.layer_skip_threshold > 0.0:
+        # M8 (himanshu/midlayer.py:250-330): images whose mean keep-score is
+        # below the threshold bypass the whole layer
+        skip_layer = jnp.mean(scores, axis=1) < pcfg.layer_skip_threshold  # [B]
+        out = jnp.where(skip_layer[:, None, None], x, out)
+        mask = jnp.where(skip_layer[:, None], jnp.zeros_like(mask), mask)
+        mask = mask.at[:, 0].set(True)  # CLS counted as live for reporting
+
     info = {"keep_mask": mask, "scores": scores}
 
     if need_oracle:

@@ -41,22 +41,48 @@ def encode_run_name(
 
 
 class RunLogger:
-    """print + append to logs/<run-name>.txt (write_N_print equivalent)."""
+    """print + append to logs/<run-name>.txt (write_N_print equivalent).
 
-    def __init__(self, run_name: str, log_dir: str = "logs", quiet: bool = False):
+    html=True additionally appends an HTML log per run (the loguru->HTML
+    sink of mukunda/deit.py:30-51).
+    """
+
+    def __init__(
+        self, run_name: str, log_dir: str = "logs", quiet: bool = False,
+        html: bool = False,
+    ):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"{run_name}.txt")
         self._f = open(self.path, "a")
         self.quiet = quiet
+        self._h = None
+        if html:
+            self.html_path = os.path.join(log_dir, f"{run_name}.html")
+            new = not os.path.exists(self.html_path)
+            self._h = open(self.html_path, "a")
+            if new:
+                self._h.write(
+                    f"<html><head><title>{run_name}</title></head>"
+                    "<body style='font-family:monospace;white-space:pre'>\n"
+                )
 
     def __call__(self, s: str):
         if not self.quiet:
             print(s)
         self._f.write(s + "\n")
         self._f.flush()
+        if self._h is not None:
+            from datetime import datetime
+            import html as _html
+
+            ts = datetime.now().strftime("%H:%M:%S")
+            self._h.write(f"<div><b>{ts}</b> {_html.escape(s)}</div>\n")
+            self._h.flush()
 
     def close(self):
         self._f.close()
+        if self._h is not None:
+            self._h.close()
 
 
 def append_stats(csv_path: str, run_name: str, accuracy: float, mlp_accuracy: float):
