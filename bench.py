@@ -71,6 +71,13 @@ def main():
     ap.add_argument("--mode", default="topk_prog", choices=["topk", "topk_prog", "mask"],
                     help="topk_prog = progressive compaction (serving path); "
                          "topk/mask = reference per-layer re-decide semantics")
+    ap.add_argument("--schedule", default=None,
+                    help="comma-separated per-layer patch keep counts for "
+                         "topk_prog (e.g. '128,128,64,64,64,64,32,32,32,32,32,32'); "
+                         "overrides --skip")
+    ap.add_argument("--serving", action="store_true",
+                    help="measure the full uint8 serving path (fused embed "
+                         "kernel + progressive compaction) as the pruned side")
     ap.add_argument("--full", action="store_true",
                     help="sweep DeiT-T/S x {0,25,50}%% skip (SURVEY §7 step 8); "
                          "matrix to stderr + bench_full.json, headline JSON on stdout")
@@ -140,7 +147,20 @@ def main():
 
     n = config.num_patches
     k = max(1, int(round(n * (1.0 - args.skip))))
-    pcfg = PruneConfig(mode=args.mode, predictor="cls_mlp", loss="mse_attention", top_k=k)
+    schedule = None
+    if args.schedule:
+        schedule = tuple(int(v) for v in args.schedule.split(","))
+        live = [n] * config.num_layers
+        cur = n
+        for i, s in enumerate(schedule):
+            if s and s < cur:
+                cur = s
+            live[i] = cur
+        args.skip = 1.0 - (sum(live) / len(live)) / n
+        log(f"schedule {schedule}: mean live {sum(live)/len(live):.1f}/{n} "
+            f"patches = {args.skip:.1%} average skip")
+    pcfg = PruneConfig(mode=args.mode, predictor="cls_mlp", loss="mse_attention",
+                       top_k=k, keep_schedule=schedule)
 
     log(f"model={args.model} batch={args.batch} dtype={args.dtype} "
         f"keep k={k}/{n} devices={jax.devices()}")
@@ -150,11 +170,25 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(1), (args.batch, 3, 224, 224), dtype)
 
     dense = amortized(lambda p, v: vit_forward(p["backbone"], v, config)["logits"], args.inner)
-    if args.mode == "topk_prog":
+    if args.serving:
+        from vit_pruning_tpu.serving import serving_forward
+
+        u8 = jax.random.randint(jax.random.PRNGKey(2), (args.batch, 3, 224, 224), 0, 256,
+                                jnp.int32).astype(jnp.uint8)
+
+        @jax.jit
+        def pruned(p, _v):
+            def body(i, acc):
+                xs = (u8 + i.astype(jnp.uint8)).astype(jnp.uint8)
+                return acc + serving_forward(p, xs, config, pcfg)["logits"].astype(jnp.float32).sum()
+
+            return jax.lax.fori_loop(0, args.inner, body, jnp.zeros((), jnp.float32))
+    elif args.mode == "topk_prog":
         pruned_fn = lambda p, v: progressive_topk_forward(p, v, config, pcfg)["logits"]
+        pruned = amortized(pruned_fn, args.inner)
     else:
         pruned_fn = lambda p, v: pruned_vit_forward(p, v, config, pcfg)["logits"]
-    pruned = amortized(pruned_fn, args.inner)
+        pruned = amortized(pruned_fn, args.inner)
 
     t_dense = timeit(dense, (params, x), args.iters) / args.inner
     t_pruned = timeit(pruned, (params, x), args.iters) / args.inner

@@ -366,6 +366,7 @@ def progressive_topk_forward(
     pcfg: PruneConfig,
     *,
     use_pallas: Optional[bool] = None,
+    x0: Optional[jnp.ndarray] = None,
 ):
     """Serving-optimized progressive compaction (mode='topk_prog').
 
@@ -388,7 +389,7 @@ def progressive_topk_forward(
     backbone = params["backbone"]
     pred = params.get("predictor")
 
-    x = embed(pixel_values, backbone["embed"], config)
+    x = x0 if x0 is not None else embed(pixel_values, backbone["embed"], config)
     b, s, d = x.shape
     L = config.num_layers
     schedule = pcfg.keep_schedule or tuple(

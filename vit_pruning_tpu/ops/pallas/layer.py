@@ -65,7 +65,7 @@ def _kernel(
     for b in range(bt):
         rows = pl.ds(b * s, s)
         if mask_ref is not None:
-            key_ok = mask_ref[b:b + 1, :] != 0  # [1, S]
+            key_ok = mask_ref[b, :, :] != 0  # [1, S]
         else:
             col = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
             key_ok = col < s_real
@@ -150,17 +150,20 @@ def fused_vit_layer(
     num_heads: int,
     eps: float = 1e-12,
     token_mask: Optional[jnp.ndarray] = None,
-    block_b: int = 8,
+    block_b: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One pre-LN ViT block, fully fused. Same semantics as models.vit.vit_layer.
 
     x: [B, S, D]; params: the per-layer dict {'ln1','attn','ln2','mlp'};
-    token_mask: [B, S] bool or None. B must be divisible by block_b.
+    token_mask: [B, S] bool or None. block_b=8 measured best across sequence
+    lengths (larger blocks blow up the unrolled per-head attention loops).
     """
     b, s, d = x.shape
     hd = d // num_heads
     scale = 1.0 / (hd ** 0.5)
+    if block_b == 0:
+        block_b = 8
     bt = min(block_b, b)
     while b % bt:
         bt -= 1
@@ -195,10 +198,12 @@ def fused_vit_layer(
     in_specs = [pl.BlockSpec((bt, s_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
     args = [x]
     if token_mask is not None:
+        # 3D mask [B, 1, S_pad]: the (1, s_pad) trailing block dims equal the
+        # array dims, so any bt is a legal block size
         in_specs.append(
-            pl.BlockSpec((bt, s_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((bt, 1, s_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         )
-        args.append(token_mask.astype(jnp.int32))
+        args.append(token_mask.astype(jnp.int32)[:, None, :])
         kernel = _kernel
     else:
         def kernel(x_ref, *rest, **kw):
