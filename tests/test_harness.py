@@ -155,3 +155,34 @@ def test_run_name_and_stats(tmp_path):
     lines = open(csv).read().strip().split("\n")
     assert lines[0] == "Model, Accuracy, MLP Accuracy"
     assert len(lines) == 3
+
+
+def test_train_resume_exact(tmp_path):
+    """Resume restores optimizer state + epoch (improves on the reference,
+    which restarted the optimizer; hi_main.py:138-139)."""
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, PCFG)
+    data = _data(n=32, bs=16)
+    sd = str(tmp_path / "state")
+
+    # run 2 epochs in one go
+    p_full = train(
+        jax.tree.map(lambda a: a.copy(), params), data, data, CFG, PCFG,
+        num_epochs=2, loss_type="cosine", lr=1e-3, full_testing=False,
+        state_dir=str(tmp_path / "full"),
+    )
+    # run 1 epoch, then resume for the 2nd
+    p1 = train(
+        jax.tree.map(lambda a: a.copy(), params), data, data, CFG, PCFG,
+        num_epochs=1, loss_type="cosine", lr=1e-3, full_testing=False,
+        state_dir=sd,
+    )
+    p2 = train(
+        jax.tree.map(lambda a: a.copy(), params), data, data, CFG, PCFG,
+        num_epochs=2, loss_type="cosine", lr=1e-3, full_testing=False,
+        state_dir=sd,
+    )
+    diffs = [
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree.leaves(p_full), jax.tree.leaves(p2))
+    ]
+    assert max(diffs) < 1e-6  # identical trajectory

@@ -111,14 +111,24 @@ def load_image_folder(
 
 
 def synthetic_dataset(
-    n: int = 256, image_size: int = 32, num_labels: int = 10, seed: int = 0
+    n: int = 256,
+    image_size: int = 32,
+    num_labels: int = 10,
+    seed: int = 0,
+    noise: float = 0.3,
+    class_seed: int = 1234,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Deterministic fake data (class-dependent mean + noise) so tiny training
-    runs can actually learn something in tests."""
+    """Deterministic fake data (class-dependent pattern + noise) so tiny
+    training runs can actually learn something in tests.
+
+    class_seed fixes the class prototypes independently of `seed`, so train
+    and test splits (different seeds) share the same classes.
+    """
     rng = np.random.RandomState(seed)
+    proto_rng = np.random.RandomState(class_seed)
     labels = rng.randint(0, num_labels, n).astype(np.int32)
-    base = rng.rand(num_labels, image_size, image_size, 3) * 255
-    images = base[labels] * 0.7 + rng.rand(n, image_size, image_size, 3) * 0.3 * 255
+    base = proto_rng.rand(num_labels, image_size, image_size, 3) * 255
+    images = base[labels] * (1 - noise) + rng.rand(n, image_size, image_size, 3) * noise * 255
     return images.astype(np.uint8), labels
 
 
@@ -161,6 +171,10 @@ class Batches:
     @property
     def num_samples(self) -> int:
         return len(self) * self.batch_size if self.drop_last else len(self.images)
+
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle order to an epoch index (exact training resume)."""
+        self._epoch = epoch
 
     def __iter__(self) -> Iterator[dict]:
         order = np.arange(len(self.images))

@@ -155,12 +155,22 @@ def train(
     best: Optional[BestCheckpoint] = None,
     seed: int = 0,
     full_testing: bool = True,
+    state_dir: Optional[str] = None,
 ) -> dict:
     """One training phase (main_model_utils.py:100-191). Returns params.
 
     loss_type 'alternate' switches mlp/vit phases on epoch % 3
     (main_model_utils.py:125-129).
+
+    state_dir: if set, {'params','opt_state','epoch'} is checkpointed after
+    every epoch and training resumes exactly from an existing state — the
+    reference only saved params (optimizer restarted on resume,
+    hi_main.py:138-139).
     """
+    import os
+
+    from vit_pruning_tpu.checkpoint import restore_checkpoint, save_checkpoint
+
     log = log or (lambda s: None)
     rng = jax.random.PRNGKey(seed)
 
@@ -168,20 +178,35 @@ def train(
         opt = masked_adam(params, policy or policy_for_loss_type(loss_t), lr)
         return opt, make_train_step(config, pcfg, loss_t, opt)
 
+    start_epoch = 0
     if loss_type != "alternate":
         optimizer, step = build(loss_type)
         opt_state = optimizer.init(params)
+        if state_dir:
+            state_path = os.path.join(os.path.abspath(state_dir), f"state_{loss_type}")
+            if os.path.exists(state_path):
+                state = restore_checkpoint(
+                    state_path,
+                    {"params": params, "opt_state": opt_state, "epoch": 0},
+                )
+                params, opt_state = state["params"], state["opt_state"]
+                start_epoch = int(state["epoch"]) + 1
+                log(f"resumed from {state_path} at epoch {start_epoch}")
     eval_step = make_eval_step(config, pcfg, full_testing)
 
-    for epoch in range(num_epochs):
+    for epoch in range(start_epoch, num_epochs):
         if loss_type == "alternate":
             phase = "cosine" if epoch % 3 == 0 else "classification"
             optimizer, step = build(phase)
             opt_state = optimizer.init(params)
 
+        if hasattr(train_batches, "set_epoch"):
+            train_batches.set_epoch(epoch)  # epoch-pinned shuffle => exact resume
+        epoch_rng = jax.random.fold_in(rng, epoch)
+
         running, nb = 0.0, 0
         for batch in train_batches:
-            rng, sub = jax.random.split(rng)
+            epoch_rng, sub = jax.random.split(epoch_rng)
             params, opt_state, metrics = step(params, opt_state, batch, sub)
             running += float(metrics["loss"])
             nb += 1
@@ -192,6 +217,10 @@ def train(
         )
         if best is not None:
             best.update(val_acc, params)
+        if state_dir and loss_type != "alternate":
+            save_checkpoint(
+                state_path, {"params": params, "opt_state": opt_state, "epoch": epoch}
+            )
         log(f"Test accuracy after {epoch + 1} epochs: {val_acc:.2%}\n")
 
     if best is not None:
