@@ -83,8 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--quiet", action="store_true")
 
     e = sub.add_parser("eval", help="evaluate a checkpoint (test() equivalent)")
-    for a in ("--model", "--dataset", "--data_path", "--mode", "--predictor"):
-        e.add_argument(a, default=None)
+    e.add_argument("--model", choices=sorted(MODELS), default="vit_base")
+    e.add_argument("--dataset", choices=["cifar100", "imagefolder", "synthetic"],
+                   default="synthetic")
+    e.add_argument("--data_path", default="./data")
+    e.add_argument("--mode", default="mask")
+    e.add_argument("--predictor", default="cls_mlp")
     e.add_argument("--checkpoint", required=True)
     e.add_argument("--test_batch_size", type=int, default=128)
     e.add_argument("--full_testing", action="store_true")
@@ -191,8 +195,8 @@ def cmd_train(args) -> int:
 
 
 def cmd_eval(args) -> int:
-    config = MODELS[args.model or "vit_base"]()
-    pcfg = PruneConfig(mode=args.mode or "mask", predictor=args.predictor or "cls_mlp")
+    config = MODELS[args.model]()
+    pcfg = PruneConfig(mode=args.mode, predictor=args.predictor)
     params = init_pruned_vit_params(jax.random.PRNGKey(0), config, pcfg)
     params = restore_checkpoint(args.checkpoint, params)
     args.train_batch_size = args.test_batch_size
