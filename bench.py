@@ -60,7 +60,7 @@ def amortized(forward, inner: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--inner", type=int, default=8,
                     help="forwards per jitted call (dispatch amortization)")

@@ -47,7 +47,6 @@ def test_freeze_policies(policy):
     step = make_train_step(CFG, PCFG, "both", optimizer)
     opt_state = optimizer.init(params)
     batch = next(iter(_data()))
-    import copy
     before = jax.tree.map(lambda a: a.copy(), params)
     new_params, _, _ = step(params, opt_state, batch, jax.random.PRNGKey(1))
 

@@ -8,11 +8,9 @@ plots.ipynb (train/test accuracy-loss dual-axis curves).
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 
