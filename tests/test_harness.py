@@ -185,3 +185,17 @@ def test_train_resume_exact(tmp_path):
         for a, b in zip(jax.tree.leaves(p_full), jax.tree.leaves(p2))
     ]
     assert max(diffs) < 1e-6  # identical trajectory
+
+
+def test_training_viz_dumps(tmp_path):
+    """V9: per-epoch blackout mask dumps during training."""
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, PCFG)
+    data = _data(n=32, bs=16)
+    train(
+        params, data, data, CFG, PCFG,
+        num_epochs=1, loss_type="cosine", lr=1e-3, full_testing=False,
+        viz_dir=str(tmp_path / "viz"),
+    )
+    files = list((tmp_path / "viz").iterdir())
+    assert len(files) == 2  # two tracked images
+    assert all(f.name.startswith("step0_img") for f in files)

@@ -103,3 +103,19 @@ def test_parallel_eval_step():
     res = step(params, shard_batch(_batch(), mesh))
     assert res["confusion"].shape == (CFG.num_layers, 2, 2)
     assert int(res["correct"]) >= 0
+
+
+def test_parallel_progressive_inference():
+    """topk_prog serving path sharded over the data axis."""
+    from vit_pruning_tpu.models.pruned_vit import progressive_topk_forward
+
+    mesh = make_mesh(data=8, model=1)
+    pcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp", top_k=2)
+    params = shard_params(
+        init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg), mesh
+    )
+    batch = shard_batch(_batch(), mesh)
+    fn = jax.jit(lambda p, v: progressive_topk_forward(p, v, CFG, pcfg)["logits"])
+    logits = fn(params, batch["pixel_values"])
+    assert np.isfinite(np.asarray(logits)).all()
+    assert logits.shape == (16, CFG.num_labels)

@@ -156,6 +156,7 @@ def train(
     seed: int = 0,
     full_testing: bool = True,
     state_dir: Optional[str] = None,
+    viz_dir: Optional[str] = None,
 ) -> dict:
     """One training phase (main_model_utils.py:100-191). Returns params.
 
@@ -166,6 +167,8 @@ def train(
     every epoch and training resumes exactly from an existing state — the
     reference only saved params (optimizer restarted on resume,
     hi_main.py:138-139).
+    viz_dir: if set, blackout-mask montages of the first test batch are
+    dumped every epoch (the V9 live training viz, mukunda/deit.py:93-128).
     """
     import os
 
@@ -220,6 +223,16 @@ def train(
         if state_dir and loss_type != "alternate":
             save_checkpoint(
                 state_path, {"params": params, "opt_state": opt_state, "epoch": epoch}
+            )
+        if viz_dir:
+            from vit_pruning_tpu.viz.blackout import training_mask_dump
+
+            vb = next(iter(test_batches))
+            vout = pruned_vit_forward(params, vb["pixel_values"], config, pcfg)
+            training_mask_dump(
+                [np.asarray(img) for img in vb["pixel_values"][:2]],
+                np.asarray(vout["keep_masks"]),
+                config.patch_size, viz_dir, step=epoch,
             )
         log(f"Test accuracy after {epoch + 1} epochs: {val_acc:.2%}\n")
 
