@@ -48,10 +48,10 @@ def _kernel(
     ln1g_ref, ln1b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     ln2g_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref,
-    ctx_ref,  # scratch [BT*S, D]
-    *, bt: int, s: int, s_real: int, h: int, hd: int, eps: float, scale: float,
+    ctx_ref,  # scratch [BT*S, KW] (KW = num_heads * head_dim, == D unless heads are pruned)
+    *, bt: int, s: int, s_real: int, h: int, hd: int, d: int, eps: float, scale: float,
 ):
-    d = h * hd
+    kw = h * hd
     x = x_ref[:].reshape(bt * s, d).astype(jnp.float32)
 
     # LN1 + fused QKV projection (one big MXU matmul)
@@ -71,8 +71,8 @@ def _kernel(
             key_ok = col < s_real
         for head in range(h):
             q = qkv[b * s:(b + 1) * s, head * hd:(head + 1) * hd].astype(jnp.float32)
-            k = qkv[b * s:(b + 1) * s, d + head * hd:d + (head + 1) * hd].astype(jnp.float32)
-            v = qkv[b * s:(b + 1) * s, 2 * d + head * hd:2 * d + (head + 1) * hd].astype(jnp.float32)
+            k = qkv[b * s:(b + 1) * s, kw + head * hd:kw + (head + 1) * hd].astype(jnp.float32)
+            v = qkv[b * s:(b + 1) * s, 2 * kw + head * hd:2 * kw + (head + 1) * hd].astype(jnp.float32)
 
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -160,7 +160,10 @@ def fused_vit_layer(
     lengths (larger blocks blow up the unrolled per-head attention loops).
     """
     b, s, d = x.shape
-    hd = d // num_heads
+    # head_dim from the actual projection width: supports physically
+    # head-pruned models where q/k/v project D -> kept_heads * hd != D
+    kv_width = params["attn"]["q"]["w"].shape[1]
+    hd = kv_width // num_heads
     scale = 1.0 / (hd ** 0.5)
     if block_b == 0:
         block_b = 8
@@ -176,7 +179,7 @@ def fused_vit_layer(
 
     a = params["attn"]
     wqkv = jnp.concatenate([a["q"]["w"], a["k"]["w"], a["v"]["w"]], axis=1)
-    bqkv = jnp.concatenate([a["q"]["b"], a["k"]["b"], a["v"]["b"]]).reshape(1, 3 * d)
+    bqkv = jnp.concatenate([a["q"]["b"], a["k"]["b"], a["v"]["b"]]).reshape(1, 3 * kv_width)
     m = params["mlp"]["fc1"]["w"].shape[1]
 
     def vec(t, n):
@@ -213,13 +216,14 @@ def fused_vit_layer(
 
     out = pl.pallas_call(
         functools.partial(
-            kernel, bt=bt, s=s_pad, s_real=s, h=num_heads, hd=hd, eps=eps, scale=scale
+            kernel, bt=bt, s=s_pad, s_real=s, h=num_heads, hd=hd, d=d,
+            eps=eps, scale=scale,
         ),
         grid=(b // bt,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bt, s_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s_pad, d), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bt * s_pad, d), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((bt * s_pad, kv_width), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

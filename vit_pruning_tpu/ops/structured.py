@@ -92,10 +92,9 @@ def prune_heads(
     new_params = dict(params)
     new_params["layers"] = dict(layers)
     new_params["layers"]["attn"] = new_attn
-    # hidden stays D; q/k/v now project D -> kept*hd. mha splits heads by the
-    # actual projection width, so only num_heads changes in the config. The
-    # whole-layer megakernel assumes square projections — pruned-head models
-    # run the jnp path (use_pallas=False).
+    # hidden stays D; q/k/v now project D -> kept*hd. mha and the fused
+    # megakernel both derive head_dim from the actual projection width, so
+    # only num_heads changes in the config.
     return new_params, config.replace(num_heads=kept)
 
 
