@@ -75,6 +75,11 @@ def main():
                     help="comma-separated per-layer patch keep counts for "
                          "topk_prog (e.g. '128,128,64,64,64,64,32,32,32,32,32,32'); "
                          "overrides --skip")
+    ap.add_argument("--composed", action="store_true",
+                    help="compose structured pruning (3/6 heads, 50%% MLP "
+                         "channels) with the aggressive token schedule — the "
+                         "3x+ configuration (accuracy trade unvalidated "
+                         "without real data)")
     ap.add_argument("--serving", action="store_true",
                     help="measure the full uint8 serving path (fused embed "
                          "kernel + progressive compaction) as the pruned side")
@@ -147,6 +152,11 @@ def main():
 
     n = config.num_patches
     k = max(1, int(round(n * (1.0 - args.skip))))
+    if args.composed and not args.schedule:
+        args.schedule = ",".join(
+            str(v) for v in
+            [n * 2 // 3] + [n // 3] * 4 + [n // 6] * (config.num_layers - 5)
+        )
     schedule = None
     if args.schedule:
         schedule = tuple(int(v) for v in args.schedule.split(","))
@@ -166,10 +176,24 @@ def main():
         f"keep k={k}/{n} devices={jax.devices()}")
 
     params = init_pruned_vit_params(jax.random.PRNGKey(0), config, pcfg)
+    # the dense baseline always uses the UNPRUNED backbone
+    dense_params = jax.tree.map(lambda a: a.astype(dtype), params["backbone"])
+    pruned_config = config
+    if args.composed:
+        from vit_pruning_tpu.ops.structured import prune_heads, prune_mlp_channels
+
+        keep_h = [list(range(0, config.num_heads, 2))] * config.num_layers
+        bb, pruned_config = prune_heads(params["backbone"], config, keep_h)
+        bb = prune_mlp_channels(
+            bb, [list(range(0, config.mlp_dim, 2))] * config.num_layers
+        )
+        params["backbone"] = bb
+        log(f"composed: heads {config.num_heads}->{pruned_config.num_heads}, "
+            f"mlp {config.mlp_dim}->{config.mlp_dim // 2}, schedule {args.schedule}")
     params = jax.tree.map(lambda a: a.astype(dtype), params)
     x = jax.random.normal(jax.random.PRNGKey(1), (args.batch, 3, 224, 224), dtype)
 
-    dense = amortized(lambda p, v: vit_forward(p["backbone"], v, config)["logits"], args.inner)
+    dense = amortized(lambda p, v: vit_forward(dense_params, v, config)["logits"], args.inner)
     if args.serving:
         from vit_pruning_tpu.serving import serving_forward
 
@@ -180,14 +204,14 @@ def main():
         def pruned(p, _v):
             def body(i, acc):
                 xs = (u8 + i.astype(jnp.uint8)).astype(jnp.uint8)
-                return acc + serving_forward(p, xs, config, pcfg)["logits"].astype(jnp.float32).sum()
+                return acc + serving_forward(p, xs, pruned_config, pcfg)["logits"].astype(jnp.float32).sum()
 
             return jax.lax.fori_loop(0, args.inner, body, jnp.zeros((), jnp.float32))
     elif args.mode == "topk_prog":
-        pruned_fn = lambda p, v: progressive_topk_forward(p, v, config, pcfg)["logits"]
+        pruned_fn = lambda p, v: progressive_topk_forward(p, v, pruned_config, pcfg)["logits"]
         pruned = amortized(pruned_fn, args.inner)
     else:
-        pruned_fn = lambda p, v: pruned_vit_forward(p, v, config, pcfg)["logits"]
+        pruned_fn = lambda p, v: pruned_vit_forward(p, v, pruned_config, pcfg)["logits"]
         pruned = amortized(pruned_fn, args.inner)
 
     t_dense = timeit(dense, (params, x), args.iters) / args.inner
