@@ -199,3 +199,21 @@ def test_training_viz_dumps(tmp_path):
     files = list((tmp_path / "viz").iterdir())
     assert len(files) == 2  # two tracked images
     assert all(f.name.startswith("step0_img") for f in files)
+
+
+def test_mixed_precision_train_step():
+    """bf16 compute, fp32 master params/grads."""
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, PCFG)
+    optimizer = masked_adam(params, "vit_mlp_train", 1e-3)
+    step = make_train_step(CFG, PCFG, "both", optimizer, compute_dtype=jnp.bfloat16)
+    batch = next(iter(_data()))
+    before = jax.tree.map(lambda a: np.asarray(a).copy(), params)
+    p2, _, metrics = step(params, optimizer.init(params), batch, jax.random.PRNGKey(1))
+    params = before
+    assert np.isfinite(float(metrics["loss"]))
+    assert all(a.dtype == jnp.float32 for a in jax.tree.leaves(p2))
+    moved = max(
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2))
+    )
+    assert moved > 0

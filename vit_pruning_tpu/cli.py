@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--log_dir", default="logs")
     t.add_argument("--models_dir", default="models")
     t.add_argument("--seed", type=int, default=42)
+    t.add_argument("--bf16", action="store_true",
+                   help="mixed-precision training (bf16 compute, fp32 master "
+                        "params; ~6.5x faster on v5e)")
     t.add_argument("--quiet", action="store_true")
 
     e = sub.add_parser("eval", help="evaluate a checkpoint (test() equivalent)")
@@ -173,11 +176,14 @@ def cmd_train(args) -> int:
     os.makedirs(args.models_dir, exist_ok=True)
     best = BestCheckpoint(args.models_dir, run_name)
 
+    import jax.numpy as jnp
+
     params = phased_train(
         params, train_b, test_b, config, pcfg,
         train_type=args.train_type, loss_types=tuple(args.loss_type),
         num_epochs=tuple(args.num_epochs), lrs=tuple(args.lr),
         log=log, best=best,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
     )
 
     accuracy, mlp_accuracy, acc = evaluate(
