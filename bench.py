@@ -88,6 +88,14 @@ def main():
                          "matrix to stderr + bench_full.json, headline JSON on stdout")
     args = ap.parse_args()
 
+    try:
+        # persistent compilation cache: Pallas/XLA compiles on this relay cost
+        # minutes; caching makes repeat bench runs fast
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from vit_pruning_tpu.configs import PruneConfig, deit_base, deit_small, deit_tiny
     from vit_pruning_tpu.models.pruned_vit import (
         init_pruned_vit_params,
@@ -132,7 +140,9 @@ def main():
         import itertools
 
         rows = []
-        for mname, skip in itertools.product(["deit_tiny", "deit_small"], [0.0, 0.25, 0.5]):
+        for mname, skip in itertools.product(
+            ["deit_tiny", "deit_small", "deit_base"], [0.0, 0.25, 0.5]
+        ):
             row = measure(mname, skip, args.mode)
             rows.append(row)
             log(row)

@@ -50,3 +50,22 @@ def test_load_torch_state_dict():
     assert not np.array_equal(before, after)
     ref_cls = hf.vit.embeddings.cls_token.detach().numpy()
     np.testing.assert_allclose(after, ref_cls, atol=1e-7)
+
+
+def test_flax_module_wrapper():
+    flax = pytest.importorskip("flax")
+    from vit_pruning_tpu.configs import PruneConfig
+    from vit_pruning_tpu.models.flax_module import PrunedViT
+    from vit_pruning_tpu.models.pruned_vit import pruned_vit_forward
+
+    pcfg = PruneConfig(mode="mask", predictor="cls_mlp")
+    module = PrunedViT(config=CFG, prune_config=pcfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 32, 32))
+    variables = module.init(jax.random.PRNGKey(0), x)
+    out = module.apply(variables, x)
+    assert out["logits"].shape == (2, CFG.num_labels)
+    # identical to the functional core on the same params
+    ref = pruned_vit_forward(variables["params"]["model"], x, CFG, pcfg)
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), np.asarray(ref["logits"]), atol=1e-6
+    )
