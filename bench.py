@@ -224,6 +224,19 @@ def main():
         pruned_fn = lambda p, v: pruned_vit_forward(p, v, pruned_config, pcfg)["logits"]
         pruned = amortized(pruned_fn, args.inner)
 
+    measured_skip = None
+    if args.mode == "mask":
+        # mask mode ignores top_k: the mask comes from thresholding the
+        # (untrained) predictor, so the nominal skip label does not describe
+        # the measured computation — report the actual mask density
+        probe = jax.jit(
+            lambda p, v: pruned_vit_forward(p, v, pruned_config, pcfg)["keep_masks"]
+        )(params, x[:32])
+        measured_skip = float(1.0 - np.asarray(probe, np.float32).mean())
+        log(f"WARNING: mode=mask skip label is nominal; measured mask density "
+            f"=> actual skip {measured_skip:.1%} (threshold {pcfg.mlp_threshold} "
+            f"on an untrained predictor)")
+
     t_dense = timeit(dense, (params, x), args.iters) / args.inner
     t_pruned = timeit(pruned, (params, x), args.iters) / args.inner
 
@@ -233,12 +246,15 @@ def main():
     log(f"pruned: {pruned_ips:.1f} img/s/chip ({t_pruned * 1e3:.2f} ms/batch)")
     log(f"speedup: {pruned_ips / dense_ips:.2f}x (target >= 3.0 at 50% skip)")
 
-    print(json.dumps({
+    result = {
         "metric": f"{args.model}_imgs_per_sec_chip_{int(args.skip * 100)}pct_skip",
         "value": round(pruned_ips, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(pruned_ips / dense_ips, 3),
-    }))
+    }
+    if measured_skip is not None:
+        result["measured_skip"] = round(measured_skip, 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -1,12 +1,31 @@
-"""Accuracy-delta quality gate (SURVEY §7 step 8).
+"""Accuracy-delta quality gate (SURVEY §7 step 8, VERDICT r1 item 4).
 
-Trains a dense baseline and a 50%-skip pruned model on the same (synthetic,
-deterministic) dataset, then reports top-1 delta, predictor-vs-oracle
-accuracy, and measured skip ratio. Gate: pruned top-1 within --max_drop of
-dense. With real data (CIFAR-100 under --data_path) the same flow reproduces
-the reference's quality anchor (89.85% dense / 88.91% pruned, BASELINE.md).
+Round-1's gate compared two models that both sat at 100% on a separable
+synthetic task — a delta gate at the accuracy ceiling can't fail. This gate
+uses `synthetic_localized_dataset`: 128 classes, irreducible label noise, and
+class evidence localized in a few patch cells on a noise background, so the
+dense model converges strictly below 95% and pruning the wrong tokens costs
+real accuracy.
 
-Prints one JSON line on stdout; detail on stderr.
+Three gates per pruned preset (reference anchors in BASELINE.md):
+  (a) top-1 delta vs the dense baseline <= --max_drop (0.5% default, the
+      north-star budget);
+  (b) predictor-vs-oracle accuracy >= --min_predictor_acc (reference runs
+      land at ~85-91%, himanshu/stats.csv col 3) — headline preset only
+      (the composed preset's deep schedule keeps far fewer tokens than the
+      oracle marks, so executed-mask-vs-oracle accuracy is not comparable);
+  (c) measured skip within --skip_tol of the configured target.
+
+Presets: 'headline' = 50% top-k token skip (the bench.py default config);
+'composed' = structured pruning (half heads, half MLP channels, trained from
+init) + the aggressive keep schedule — the 3x+ throughput configuration whose
+accuracy budget round 1 left unvalidated. 'both' runs the two in sequence.
+
+With real data (CIFAR-100 dir via --data_path) the same flow reproduces the
+reference's quality anchor (89.85% dense / 88.91% pruned, BASELINE.md).
+
+Prints one JSON line on stdout; detail on stderr. Exit 0 iff every gate of
+every requested preset passes.
 """
 
 from __future__ import annotations
@@ -18,7 +37,11 @@ import sys
 import jax
 
 from vit_pruning_tpu.configs import PruneConfig, ViTConfig
-from vit_pruning_tpu.data.datasets import Batches, load_cifar100, synthetic_dataset
+from vit_pruning_tpu.data.datasets import (
+    Batches,
+    load_cifar100,
+    synthetic_localized_dataset,
+)
 from vit_pruning_tpu.models.pruned_vit import init_pruned_vit_params
 from vit_pruning_tpu.train.harness import evaluate, phased_train
 
@@ -27,70 +50,144 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--skip", type=float, default=0.5)
-    ap.add_argument("--max_drop", type=float, default=0.005)
-    ap.add_argument("--epochs", type=int, default=3)
-    ap.add_argument("--train_size", type=int, default=1024)
-    ap.add_argument("--test_size", type=int, default=256)
-    ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--data_path", default=None, help="CIFAR-100 dir (else synthetic)")
-    args = ap.parse_args()
-
+def build_task(args):
     config = ViTConfig(
         image_size=32, patch_size=4, hidden_size=128, num_layers=6,
-        num_heads=4, mlp_dim=256, num_labels=10,
+        num_heads=4, mlp_dim=256, num_labels=128,
     )  # 64 patches; big enough for pruning to matter, small enough to train fast
-
     if args.data_path:
         config = config.replace(num_labels=100)
         tr = load_cifar100(args.data_path, train=True, size=args.train_size)
         te = load_cifar100(args.data_path, train=False, size=args.test_size)
     else:
-        tr = synthetic_dataset(args.train_size, config.image_size, config.num_labels, seed=0)
-        te = synthetic_dataset(args.test_size, config.image_size, config.num_labels, seed=1)
+        tr = synthetic_localized_dataset(
+            args.train_size, config.image_size, config.num_labels,
+            seed=0, label_noise=args.label_noise,
+        )
+        te = synthetic_localized_dataset(
+            args.test_size, config.image_size, config.num_labels,
+            seed=1, label_noise=args.label_noise,
+        )
     train_b = Batches(*tr, batch_size=args.batch, image_size=config.image_size,
                       shuffle=True, seed=42)
     test_b = Batches(*te, batch_size=args.batch, image_size=config.image_size)
+    return config, train_b, test_b
 
-    k = max(1, int(round(config.num_patches * (1.0 - args.skip))))
 
-    def run(pcfg, train_type):
-        params = init_pruned_vit_params(jax.random.PRNGKey(42), config, pcfg)
-        params = phased_train(
-            params, train_b, test_b, config, pcfg,
-            train_type=train_type,
-            num_epochs=(args.epochs, args.epochs), lrs=(1e-3, 1e-3),
-            full_testing=pcfg.mode != "none",
+def train_and_eval(config, pcfg, train_b, test_b, args, train_type,
+                   structured=False):
+    params = init_pruned_vit_params(jax.random.PRNGKey(42), config, pcfg)
+    eval_cfg = config
+    if structured:
+        from vit_pruning_tpu.ops.structured import prune_heads, prune_mlp_channels
+
+        keep_h = [list(range(0, config.num_heads, 2))] * config.num_layers
+        bb, eval_cfg = prune_heads(params["backbone"], config, keep_h)
+        params["backbone"] = prune_mlp_channels(
+            bb, [list(range(0, config.mlp_dim, 2))] * config.num_layers
         )
-        acc, mlp_acc, a = evaluate(
-            params, test_b, config, pcfg, full_testing=pcfg.mode != "none"
-        )
-        return acc, mlp_acc, a
+    params = phased_train(
+        params, train_b, test_b, eval_cfg, pcfg,
+        train_type=train_type,
+        num_epochs=(args.epochs, args.epochs), lrs=(1e-3, 1e-3),
+        full_testing=pcfg.mode not in ("none",),
+    )
+    # serving-semantics accuracy + measured skip (progressive path for
+    # topk_prog — the configuration the throughput claims are made on)
+    acc, _, a0 = evaluate(params, test_b, eval_cfg, pcfg, full_testing=False)
+    mlp_acc, skip = None, None
+    if pcfg.mode != "none":
+        skip = float(a0.measured_skip_per_layer.mean())
+        # oracle-instrumented pass for predictor-vs-oracle accuracy
+        _, mlp_acc, _ = evaluate(params, test_b, eval_cfg, pcfg, full_testing=True)
+    return acc, mlp_acc, skip
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=["headline", "composed", "both"],
+                    default="headline")
+    ap.add_argument("--skip", type=float, default=0.5)
+    ap.add_argument("--max_drop", type=float, default=0.005)
+    ap.add_argument("--min_predictor_acc", type=float, default=0.85)
+    ap.add_argument("--skip_tol", type=float, default=0.08)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--train_size", type=int, default=4096)
+    ap.add_argument("--test_size", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--label_noise", type=float, default=0.1)
+    ap.add_argument("--sim_threshold", type=float, default=0.9)
+    ap.add_argument("--data_path", default=None, help="CIFAR-100 dir (else synthetic)")
+    args = ap.parse_args()
+
+    config, train_b, test_b = build_task(args)
+    n = config.num_patches
 
     log("training dense baseline…")
-    dense_acc, _, _ = run(PruneConfig(mode="none", predictor="none"), "vit")
+    dense_acc, _, _ = train_and_eval(
+        config, PruneConfig(mode="none", predictor="none"), train_b, test_b,
+        args, "vit",
+    )
+    log(f"dense top-1: {dense_acc:.4f}")
 
-    log("training pruned model (50% top-k)…")
-    pcfg = PruneConfig(mode="topk", predictor="cls_mlp", loss="bce_oracle", top_k=k)
-    pruned_acc, mlp_acc, a = run(pcfg, "both")
+    presets = {}
+    if args.preset in ("headline", "both"):
+        k = max(1, int(round(n * (1.0 - args.skip))))
+        presets["headline"] = dict(
+            pcfg=PruneConfig(mode="topk", predictor="cls_mlp", loss="bce_oracle",
+                             top_k=k, sim_threshold=args.sim_threshold),
+            target_skip=1.0 - (k + 1) / (n + 1),
+            structured=False, check_predictor=True,
+        )
+    if args.preset in ("composed", "both"):
+        L = config.num_layers
+        schedule = tuple([n * 2 // 3] + [n // 3] * min(4, L - 1)
+                         + [n // 6] * max(0, L - 5))
+        live, cur = [], n
+        for s in schedule:
+            if s and s < cur:
+                cur = s
+            live.append(cur + 1)
+        presets["composed"] = dict(
+            pcfg=PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                             loss="bce_oracle", top_k=schedule[0],
+                             keep_schedule=schedule,
+                             sim_threshold=args.sim_threshold),
+            target_skip=1.0 - (sum(live) / len(live)) / (n + 1),
+            structured=True, check_predictor=False,
+        )
 
-    drop = dense_acc - pruned_acc
-    result = {
-        "metric": f"top1_delta_at_{int(args.skip * 100)}pct_skip",
-        "dense_top1": round(dense_acc, 4),
-        "pruned_top1": round(pruned_acc, 4),
-        "delta": round(drop, 4),
-        "predictor_accuracy": round(mlp_acc, 4),
-        "measured_skip": round(float(a.measured_skip_per_layer.mean()), 4),
-        "gate_max_drop": args.max_drop,
-        "pass": bool(drop <= args.max_drop),
-        "dataset": "cifar100" if args.data_path else "synthetic",
-    }
-    log(result)
-    print(json.dumps(result))
-    return 0 if result["pass"] else 1
+    results = {"dense_top1": round(dense_acc, 4),
+               "dataset": "cifar100" if args.data_path else "synthetic_localized",
+               "gate_max_drop": args.max_drop, "presets": {}}
+    all_pass = True
+    for name, spec in presets.items():
+        log(f"training {name} preset…")
+        acc, mlp_acc, skip = train_and_eval(
+            config, spec["pcfg"], train_b, test_b, args, "both",
+            structured=spec["structured"],
+        )
+        drop = dense_acc - acc
+        gates = {"delta": bool(drop <= args.max_drop)}
+        if spec["check_predictor"]:
+            gates["predictor"] = bool(mlp_acc >= args.min_predictor_acc)
+        gates["skip"] = bool(abs(skip - spec["target_skip"]) <= args.skip_tol)
+        ok = all(gates.values())
+        all_pass &= ok
+        results["presets"][name] = {
+            "pruned_top1": round(acc, 4),
+            "delta": round(drop, 4),
+            "predictor_accuracy": round(mlp_acc, 4) if mlp_acc is not None else None,
+            "measured_skip": round(skip, 4),
+            "target_skip": round(spec["target_skip"], 4),
+            "gates": gates,
+            "pass": ok,
+        }
+        log(f"{name}: {results['presets'][name]}")
+
+    results["pass"] = bool(all_pass)
+    print(json.dumps(results))
+    return 0 if all_pass else 1
 
 
 if __name__ == "__main__":

@@ -69,3 +69,19 @@ def test_flax_module_wrapper():
     np.testing.assert_allclose(
         np.asarray(out["logits"]), np.asarray(ref["logits"]), atol=1e-6
     )
+
+
+def test_topk_prog_inference_contract():
+    """mode='topk_prog' inference routes to progressive_topk_forward; the
+    wrapper must still expose logits/masks/last_hidden (advisor repro)."""
+    from vit_pruning_tpu.configs import PruneConfig
+
+    model = ModifiedViTModel(
+        CFG, prune_config=PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                                      loss="mse_cosine", top_k=6),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 32, 32))
+    out = model.eval()(x)
+    assert out.logits.shape == (2, CFG.num_labels)
+    assert out.boolean_masks.shape == (CFG.num_layers, 2, CFG.seq_len)
+    assert out.last_hidden_state.shape[0] == 2

@@ -1,0 +1,31 @@
+"""CLI driver: smoke train -> checkpoint sidecar -> eval rebuilds the model."""
+
+import json
+import os
+
+from vit_pruning_tpu.cli import main
+
+
+def test_train_eval_roundtrip_with_config_sidecar(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rc = main([
+        "train", "-d", "smoke_cli", "--preset", "smoke", "--quiet",
+        "--models_dir", str(tmp_path / "models"),
+        "--log_dir", str(tmp_path / "logs"),
+        "--csv_path", str(tmp_path / "stats.csv"),
+    ])
+    assert rc == 0
+    models = [p for p in (tmp_path / "models").iterdir() if p.is_dir()]
+    assert len(models) == 1
+    sidecar = str(models[0]) + ".config.json"
+    assert os.path.exists(sidecar)
+    d = json.loads(open(sidecar).read())
+    assert "vit" in d and "prune" in d
+
+    # eval must rebuild the trained config from the sidecar even when the
+    # --model flag disagrees (the advisor's num_labels-mismatch scenario)
+    rc = main([
+        "eval", "--checkpoint", str(models[0]), "--model", "vit_base",
+        "--dataset", "synthetic", "--test_batch_size", "16",
+    ])
+    assert rc == 0

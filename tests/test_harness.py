@@ -217,3 +217,52 @@ def test_mixed_precision_train_step():
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2))
     )
     assert moved > 0
+
+
+def test_alternate_resume_exact(tmp_path):
+    """loss_type='alternate' checkpoints too (params + epoch; the optimizer
+    is rebuilt every epoch by design, main_model_utils.py:125-129)."""
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, PCFG)
+    data = _data(n=32, bs=16)
+    sd = str(tmp_path / "alt")
+
+    p_full = train(
+        jax.tree.map(lambda a: a.copy(), params), data, data, CFG, PCFG,
+        num_epochs=2, loss_type="alternate", lr=1e-3, full_testing=False,
+        state_dir=str(tmp_path / "alt_full"),
+    )
+    train(
+        jax.tree.map(lambda a: a.copy(), params), data, data, CFG, PCFG,
+        num_epochs=1, loss_type="alternate", lr=1e-3, full_testing=False,
+        state_dir=sd,
+    )
+    p2 = train(
+        jax.tree.map(lambda a: a.copy(), params), data, data, CFG, PCFG,
+        num_epochs=2, loss_type="alternate", lr=1e-3, full_testing=False,
+        state_dir=sd,
+    )
+    diffs = [
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree.leaves(p_full), jax.tree.leaves(p2))
+    ]
+    assert max(diffs) < 1e-6
+
+
+def test_mlp_tracker_matches_reference_aggregation():
+    """M19 track_mlp_loss semantics (mukunda/deit.py:183-229): running
+    per-predictor sample counts, positives, and per-class accuracies."""
+    import numpy as np
+
+    from vit_pruning_tpu.train.metrics import MLPTracker
+
+    t = MLPTracker(num_layers=2)
+    # layer 0: 3 skip-correct, 1 skip-wrong, 4 keep-correct, 2 keep-wrong
+    c1 = np.array([[[3, 1], [2, 4]], [[5, 0], [0, 5]]])
+    t.update(c1)
+    t.update(c1)  # running aggregate over two steps
+    assert t.samples.tolist() == [20, 20]
+    assert t.positives.tolist() == [12, 10]
+    np.testing.assert_allclose(t.accuracy, [(6 + 8) / 20, 1.0])
+    np.testing.assert_allclose(t.class_accuracy[0], [3 / 4, 4 / 6])
+    np.testing.assert_allclose(t.class_accuracy[1], [1.0, 1.0])
+    assert "mlp_0" in t.report() and "keep_acc" in t.report()

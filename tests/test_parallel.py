@@ -119,3 +119,41 @@ def test_parallel_progressive_inference():
     logits = fn(params, batch["pixel_values"])
     assert np.isfinite(np.asarray(logits)).all()
     assert logits.shape == (16, CFG.num_labels)
+
+
+def test_opt_state_moments_co_sharded_with_params():
+    """Adam moments of model-sharded params must be model-sharded too (not
+    replicated): opt_state shardings are explicit in the parallel step."""
+    mesh = make_mesh(data=4, model=2)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, PCFG)
+    params = shard_params(params, mesh)
+    optimizer = masked_adam(params, "vit_mlp_train", 1e-3)
+    step = make_parallel_train_step(CFG, PCFG, "both", optimizer, mesh, params)
+    opt_state = optimizer.init(params)
+    batch = shard_batch(_batch(), mesh)
+
+    _, opt_state, _ = step(params, opt_state, batch, jax.random.PRNGKey(1))
+
+    def moment_shardings(state):
+        found = []
+
+        def rec(node):
+            if isinstance(node, dict):
+                if "backbone" in node:
+                    fc1 = node["backbone"]["layers"]["mlp"]["fc1"]["w"]
+                    if hasattr(fc1, "sharding"):
+                        found.append(fc1.sharding.spec)
+                    return
+                for c in node.values():
+                    rec(c)
+            elif hasattr(node, "_fields") or isinstance(node, (tuple, list)):
+                for c in node:
+                    rec(c)
+
+        rec(state)
+        return found
+
+    specs = moment_shardings(opt_state)
+    assert specs, "no params-mirroring moment trees found in opt_state"
+    for spec in specs:
+        assert spec == P(None, None, "model"), spec

@@ -164,3 +164,137 @@ def test_layer_skip_threshold():
     h = layer_norm(h, bb["ln_f"], CFG.layernorm_eps)
     ref = h[:, 0] @ bb["head"]["w"] + bb["head"]["b"]
     np.testing.assert_allclose(np.asarray(out["logits"]), np.asarray(ref), atol=1e-5)
+
+
+# --- M8 skip-next mechanics (himanshu/midlayer.py:471-523) -------------------
+
+def _skip_next_outputs(threshold, mlp_threshold=0.5):
+    pcfg = PruneConfig(
+        mode="mask", predictor="cls_mlp", measure_only=True,
+        mlp_threshold=mlp_threshold, skip_next_threshold=threshold,
+    )
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    out = pruned_vit_forward(params, _x(), CFG, pcfg)
+    return params, pcfg, out
+
+
+def test_skip_next_trigger_direction_and_identity():
+    """When mean(thresholded mask) EXCEEDS the threshold, the NEXT layer is
+    skipped (identity), and that layer reports an all-ones mask — the
+    reference's skip_next flag semantics."""
+    # threshold 0 disables; near-0 (but >0) triggers for any non-empty mask
+    params, pcfg, out = _skip_next_outputs(threshold=1e-6, mlp_threshold=-1.0)
+    # mlp_threshold=-1 => every token kept => mean(mask)=1 > 1e-6 at layer 0
+    # => layer 1 must be skipped entirely
+    km = np.asarray(out["keep_masks"])  # [L, B, S]
+    assert km[1].all(), "skipped layer must record an all-ones mask"
+
+    # identity check: layer 1's input equals its output. Compare against a
+    # run of the dense backbone: hidden after layer 2 of the skip model must
+    # equal "embed -> layer0 -> layer2" (layer 1 removed).
+    from vit_pruning_tpu.models.vit import embed, vit_layer, layer_norm
+
+    x = _x()
+    bb = params["backbone"]
+    h = embed(x, bb["embed"], CFG)
+    h = vit_layer(h, jax.tree.map(lambda a: a[0], bb["layers"]), CFG)
+    h = vit_layer(h, jax.tree.map(lambda a: a[2], bb["layers"]), CFG)  # layer 1 skipped
+    h = layer_norm(h, bb["ln_f"], CFG.layernorm_eps)
+    expected_logits = h[:, 0] @ bb["head"]["w"] + bb["head"]["b"]
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), np.asarray(expected_logits), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_skip_next_no_chained_skips():
+    """A skipped layer computes no decision, so layer 2 runs even though the
+    all-ones recorded mask would re-trigger naively (vit_tiny has 3 layers:
+    L0 decides skip L1; L1 skipped; L2 must NOT be skipped by L1's ones)."""
+    params, pcfg, out = _skip_next_outputs(threshold=1e-6, mlp_threshold=-1.0)
+    km = np.asarray(out["keep_masks"])
+    # layer 2 triggers only from its own computed mask; with mlp_threshold=-1
+    # every mask is ones anyway, so instead check identity is NOT applied:
+    # logits must differ from the model that skips BOTH layers 1 and 2
+    from vit_pruning_tpu.models.vit import embed, vit_layer, layer_norm
+
+    x = _x()
+    bb = params["backbone"]
+    h = embed(x, bb["embed"], CFG)
+    h = vit_layer(h, jax.tree.map(lambda a: a[0], bb["layers"]), CFG)
+    h = layer_norm(h, bb["ln_f"], CFG.layernorm_eps)
+    both_skipped = h[:, 0] @ bb["head"]["w"] + bb["head"]["b"]
+    assert not np.allclose(np.asarray(out["logits"]), np.asarray(both_skipped), atol=1e-4)
+
+
+def test_skip_next_below_threshold_never_skips():
+    """Trigger direction: mean(mask) must EXCEED the threshold to skip."""
+    params, pcfg, out = _skip_next_outputs(threshold=1.5, mlp_threshold=-1.0)
+    dense = vit_forward(params["backbone"], _x(), CFG)
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), np.asarray(dense["logits"]), rtol=2e-5, atol=2e-5
+    )
+
+
+# --- topk_prog serving path: every per-token predictor runs ------------------
+
+@pytest.mark.parametrize("predictor", [
+    "cls_mlp", "token_mlp", "common_mlp", "bottleneck", "cls_cosine", "key_mlp",
+])
+def test_topk_prog_all_token_predictors(predictor):
+    pcfg = PruneConfig(
+        mode="topk_prog", predictor=predictor, loss="mse_cosine", top_k=6,
+        keep_schedule=(6, 0, 4),
+    )
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    out = pruned_vit_forward(params, _x(), CFG, pcfg)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+    assert "last_hidden" in out  # ModifiedViTModel wrapper reads this
+
+
+def test_topk_prog_rejects_fixed_grid_predictors():
+    with pytest.raises(ValueError, match="full token grid"):
+        PruneConfig(mode="topk_prog", predictor="compressor",
+                    keep_schedule=(6, 0, 4))
+    # drop only at layer 0 is allowed (full grid at decision time)
+    PruneConfig(mode="topk_prog", predictor="compressor", keep_schedule=(6, 0, 0))
+
+
+# --- M19 per-predictor optimizers --------------------------------------------
+
+def test_per_predictor_adam_equals_masked_adam_at_equal_lr():
+    from vit_pruning_tpu.train.freeze import per_predictor_adam
+
+    pcfg = PruneConfig(mode="mask", predictor="cls_mlp")
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    batch = {"pixel_values": _x(), "labels": jnp.array([0, 1])}
+
+    outs = []
+    for opt in (masked_adam(params, "mlp_train", 1e-3),
+                per_predictor_adam(params, 1e-3)):
+        step = make_train_step(CFG, pcfg, "cosine", opt)
+        p_in = jax.tree.map(jnp.copy, params)  # step donates its inputs
+        p2, _, _ = step(p_in, opt.init(p_in), batch, jax.random.PRNGKey(3))
+        outs.append(p2)
+    for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_per_predictor_adam_per_layer_lr_scales():
+    from vit_pruning_tpu.train.freeze import per_predictor_adam
+
+    pcfg = PruneConfig(mode="mask", predictor="cls_mlp")
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    batch = {"pixel_values": _x(), "labels": jnp.array([0, 1])}
+
+    scales = [0.0] * CFG.num_layers
+    scales[1] = 1.0  # only layer 1's predictor learns
+    opt = per_predictor_adam(params, 1e-3, lr_scales=scales)
+    step = make_train_step(CFG, pcfg, "cosine", opt)
+    w0 = np.asarray(params["predictor"]["mlp"]["l0"]["w"]).copy()
+    p_in = jax.tree.map(jnp.copy, params)  # step donates its inputs
+    p2, _, _ = step(p_in, opt.init(p_in), batch, jax.random.PRNGKey(3))
+
+    w1 = np.asarray(p2["predictor"]["mlp"]["l0"]["w"])
+    assert np.allclose(w0[0], w1[0])          # layer 0 frozen by scale 0
+    assert not np.allclose(w0[1], w1[1])      # layer 1 updated
+    assert np.allclose(w0[2], w1[2])          # layer 2 frozen

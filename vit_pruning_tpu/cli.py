@@ -111,6 +111,37 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _build_config(args) -> ViTConfig:
+    """Model config consistent across train/eval/viz: CIFAR-100 implies a
+    100-way head (the reference's num_labels=100, hi_main.py:96)."""
+    if getattr(args, "dataset", None) == "cifar100":
+        return MODELS[args.model](num_labels=100)
+    return MODELS[args.model]()
+
+
+def _sidecar_path(checkpoint_path: str) -> str:
+    return checkpoint_path.rstrip("/") + ".config.json"
+
+
+def _save_config_sidecar(checkpoint_path: str, config: ViTConfig, pcfg: PruneConfig):
+    import json
+
+    with open(_sidecar_path(checkpoint_path), "w") as fh:
+        json.dump({"vit": config.to_json(), "prune": pcfg.to_json()}, fh)
+
+
+def _load_config_sidecar(checkpoint_path: str):
+    """(ViTConfig, PruneConfig) recorded at train time, or None."""
+    import json
+
+    p = _sidecar_path(checkpoint_path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        d = json.load(fh)
+    return ViTConfig.from_json(d["vit"]), PruneConfig.from_json(d["prune"])
+
+
 def _load_data(args, config: ViTConfig):
     if args.dataset == "synthetic":
         n_train = args.train_size or 256
@@ -145,8 +176,7 @@ def cmd_train(args) -> int:
         args.test_size = args.test_size or 32
         args.top_k = min(args.top_k, 8)
 
-    config = MODELS[args.model](num_labels=100 if args.dataset == "cifar100" else None) \
-        if args.dataset == "cifar100" else MODELS[args.model]()
+    config = _build_config(args)
     pcfg = PruneConfig(
         mode=args.mode, predictor=args.predictor if args.mode != "none" else "none",
         loss=args.loss, sim_threshold=args.sim_threshold,
@@ -175,6 +205,10 @@ def cmd_train(args) -> int:
     train_b, test_b = _load_data(args, config)
     os.makedirs(args.models_dir, exist_ok=True)
     best = BestCheckpoint(args.models_dir, run_name)
+    if best.path:
+        # record the exact configs next to the checkpoint so eval/viz can
+        # rebuild the same model (classifier-head shape included)
+        _save_config_sidecar(best.path, config, pcfg)
 
     import jax.numpy as jnp
 
@@ -201,8 +235,12 @@ def cmd_train(args) -> int:
 
 
 def cmd_eval(args) -> int:
-    config = MODELS[args.model]()
-    pcfg = PruneConfig(mode=args.mode, predictor=args.predictor)
+    side = _load_config_sidecar(args.checkpoint)
+    if side is not None:
+        config, pcfg = side
+    else:
+        config = _build_config(args)
+        pcfg = PruneConfig(mode=args.mode, predictor=args.predictor)
     params = init_pruned_vit_params(jax.random.PRNGKey(0), config, pcfg)
     params = restore_checkpoint(args.checkpoint, params)
     args.train_batch_size = args.test_batch_size
@@ -236,8 +274,12 @@ def cmd_viz(args) -> int:
         plot_similarity_distributions,
     )
 
-    config = MODELS[args.model]()
-    pcfg = PruneConfig(mode=args.mode, predictor=args.predictor)
+    side = _load_config_sidecar(args.checkpoint) if args.checkpoint else None
+    if side is not None:
+        config, pcfg = side
+    else:
+        config = _build_config(args)
+        pcfg = PruneConfig(mode=args.mode, predictor=args.predictor)
     params = init_pruned_vit_params(jax.random.PRNGKey(0), config, pcfg)
     if args.checkpoint:
         params = restore_checkpoint(args.checkpoint, params)

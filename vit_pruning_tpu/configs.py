@@ -192,12 +192,21 @@ class PruneConfig:
     # M13 measurement mode (pradeep/mid2.py:64-70): compute masks and stats
     # but run the full dense layer for all tokens.
     measure_only: bool = False
-    # M8 whole-layer skipping (himanshu/midlayer.py:250-330): when the mean
-    # keep-score of an image falls below this threshold, that image bypasses
-    # the ENTIRE layer (identity). 0 disables. Note: in a static XLA program
-    # the layer is still computed and deselected per image; FLOP savings
-    # need serving-level dynamic batching.
+    # OUR EXTENSION (not in the reference): when the mean keep-score of an
+    # image falls below this threshold, that image bypasses the CURRENT
+    # layer (identity). 0 disables. For the reference's M8 semantics use
+    # skip_next_threshold. Note: in a static XLA program the layer is still
+    # computed and deselected per image; FLOP savings need serving-level
+    # dynamic batching.
     layer_skip_threshold: float = 0.0
+    # M8 whole-layer skipping, reference semantics (himanshu/midlayer.py:
+    # 471-523): after each active layer, images whose mean THRESHOLDED keep
+    # mask exceeds this value skip the ENTIRE NEXT layer (hidden_states
+    # reuse); the skipped layer records an all-ones mask and computes no
+    # scores, so two consecutive layers are never skipped. The reference
+    # compares torch.mean(boolean_mask) > sim_threshold batch-globally; we
+    # generalize to per-image. 0 disables.
+    skip_next_threshold: float = 0.0
     # oracle teacher trajectory: 'local' = dense pass from the pruned
     # stream's layer input (M2); 'parallel' = maintain a separate unpruned
     # stream through the whole encoder as the teacher (M19,
@@ -221,6 +230,23 @@ class PruneConfig:
             raise ValueError(f"skip_correction {self.skip_correction!r}")
         if self.oracle_stream not in ("local", "parallel"):
             raise ValueError(f"oracle_stream {self.oracle_stream!r}")
+        if self.mode == "topk_prog" and self.predictor in (
+            "compressor", "shared_compressor", "cnn"
+        ):
+            # these heads need the full fixed-N token set (flat MLP over
+            # N*16 features / the 14x14 patch grid); progressive compaction
+            # shrinks the sequence after the first drop, so any schedule
+            # with a later drop would feed them a wrong-sized input
+            sched = self.keep_schedule
+            if sched is not None and any(sched[1:]):
+                raise ValueError(
+                    f"predictor {self.predictor!r} requires the full token "
+                    "grid and cannot re-score a progressively compacted "
+                    "sequence; with mode='topk_prog' use a keep_schedule "
+                    "that only drops at layer 0, or a per-token predictor "
+                    "(cls_mlp/token_mlp/common_mlp/bottleneck/cls_cosine/"
+                    "key_mlp)"
+                )
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)

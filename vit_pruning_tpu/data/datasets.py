@@ -110,6 +110,57 @@ def load_image_folder(
     return images, labels
 
 
+def synthetic_localized_dataset(
+    n: int,
+    image_size: int = 32,
+    num_labels: int = 128,
+    seed: int = 0,
+    class_seed: int = 1234,
+    label_noise: float = 0.1,
+    signal_patches: int = 8,
+    cell: int = 4,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """A NON-saturating synthetic classification task for the quality gate.
+
+    Design goals (VERDICT r1: a delta gate at the accuracy ceiling can't
+    fail): (1) many classes + irreducible label noise => the dense model
+    converges strictly below 100% (ceiling ~= 1 - noise + noise/C); (2) the
+    class evidence lives in a few class-specific PATCH cells on a noise
+    background, so token skipping is a real subproblem — pruning the wrong
+    patches destroys accuracy, making the gate sensitive to predictor
+    quality rather than vacuously PASS.
+
+    Labels are noisy in both splits (same rate), so dense and pruned models
+    converge to the same noise-limited cap and the delta isolates pruning
+    damage. Deterministic: class prototypes/positions depend only on
+    class_seed; sampling on seed.
+    """
+    rng = np.random.RandomState(seed)
+    proto = np.random.RandomState(class_seed)
+    g = image_size // cell
+    # class-specific signal cells and patterns
+    cells_per_class = np.stack([
+        proto.choice(g * g, size=signal_patches, replace=False)
+        for _ in range(num_labels)
+    ])  # [C, P]
+    patterns = proto.rand(num_labels, signal_patches, cell, cell, 3)  # in [0,1]
+
+    true_labels = rng.randint(0, num_labels, n).astype(np.int32)
+    images = rng.rand(n, image_size, image_size, 3).astype(np.float32)  # noise bg
+    for i in range(n):
+        c = true_labels[i]
+        for p in range(signal_patches):
+            r, q = divmod(int(cells_per_class[c, p]), g)
+            images[i, r * cell:(r + 1) * cell, q * cell:(q + 1) * cell] = (
+                0.25 * images[i, r * cell:(r + 1) * cell, q * cell:(q + 1) * cell]
+                + 0.75 * patterns[c, p]
+            )
+    labels = true_labels.copy()
+    flip = rng.rand(n) < label_noise
+    labels[flip] = rng.randint(0, num_labels, int(flip.sum())).astype(np.int32)
+    return (images * 255).astype(np.uint8), labels
+
+
 def synthetic_dataset(
     n: int = 256,
     image_size: int = 32,

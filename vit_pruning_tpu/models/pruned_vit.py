@@ -298,6 +298,9 @@ def pruned_vit_forward(
     x_teacher = x if use_teacher else None
     masks, scores_l, aux_l = [], [], []
     prev_keep = None
+    # M8 skip-next flag (himanshu/midlayer.py:471-523): [B] bool, set by the
+    # previous layer's thresholded mask; flagged images bypass this layer.
+    skip_vec = None
     for i in range(config.num_layers):
         lp = _layer_slice(backbone["layers"], i)
         teacher = None
@@ -329,9 +332,35 @@ def pruned_vit_forward(
                 # trade FLOPs for memory on long fine-tunes (the reference's
                 # gradient_checkpointing branch, model_utils.py:154-160)
                 layer_fn = jax.checkpoint(layer_fn)
+            x_in = x
             x, info = layer_fn(
                 lp, pred, x, prev_keep, rng, params.get("updatenet"), teacher
             )
+            if pcfg.skip_next_threshold > 0.0:
+                # M8 (midlayer.py:471-523): decide from THIS layer's raw
+                # thresholded mask whether each image skips the NEXT layer;
+                # images flagged by the previous layer take the identity
+                # path here and report an all-ones mask (the reference's
+                # `all_boolean_masks.append(torch.ones_like(prev_mask))`).
+                # A skipped layer computes no decision, so skips never chain.
+                raw_mask = info["keep_mask"]
+                trigger = (
+                    jnp.mean(raw_mask[:, 1:].astype(jnp.float32), axis=1)
+                    > pcfg.skip_next_threshold
+                )
+                if skip_vec is not None:
+                    x = jnp.where(skip_vec[:, None, None], x_in, x)
+                    info = dict(info)
+                    info["keep_mask"] = jnp.where(
+                        skip_vec[:, None], jnp.ones_like(raw_mask), raw_mask
+                    )
+                    info["scores"] = jnp.where(
+                        skip_vec[:, None],
+                        jnp.ones_like(info["scores"]),
+                        info["scores"],
+                    )
+                    trigger = trigger & ~skip_vec
+                skip_vec = trigger
         prev_keep = info["keep_mask"]
         masks.append(info["keep_mask"])
         scores_l.append(info["scores"])
@@ -405,7 +434,9 @@ def progressive_topk_forward(
         lp = _layer_slice(backbone["layers"], i)
         k_i = schedule[i]
         if k_i and k_i < cur - 1 and _is_active(pcfg, i):
-            scores, _ = apply_predictor(pred, i, x, config, pcfg)  # [B, cur-1]
+            scores, _ = apply_predictor(
+                pred, i, x, config, pcfg, layer_params=lp
+            )  # [B, cur-1]
             # report scores at original patch positions (dropped = -inf)
             patch_orig = orig[:, 1:] - 1  # [B, cur-1] original patch indices
             full_scores = jnp.full((b, s - 1), -jnp.inf, scores.dtype)
@@ -432,6 +463,9 @@ def progressive_topk_forward(
     return {
         "logits": logits,
         "cls": cls,
+        # compacted final hidden states [B, live, D] (live tokens only; use
+        # keep_masks to map rows back to original positions)
+        "last_hidden": x,
         "keep_masks": jnp.stack(masks),
         "scores": jnp.stack(scores_l),
     }

@@ -27,6 +27,40 @@ def _named(mesh, tree):
     )
 
 
+def opt_state_shardings(
+    optimizer: optax.GradientTransformation, params_like: dict, params_sh, rep
+):
+    """Shardings for the optimizer state: Adam moments (and any other
+    state tree that mirrors the params pytree) take the corresponding
+    param's sharding; scalars (step counts, empty states) are replicated.
+
+    Without this, `in_shardings=None` lets the compiler choose — plausibly
+    replicating the moments of model-sharded params, which would multiply
+    optimizer memory by the model-axis size.
+    """
+    from jax.tree_util import tree_flatten_with_path, tree_map_with_path
+
+    flat = dict(tree_flatten_with_path(params_sh)[0])
+
+    def params_mirroring(node):
+        # a subtree whose dict paths mirror the params tree (Adam mu/nu);
+        # masked holes contribute no leaves and need no sharding
+        return tree_map_with_path(lambda path, _leaf: flat.get(path, rep), node)
+
+    def rec(node):
+        if isinstance(node, dict):
+            if set(node) == set(params_like):
+                return params_mirroring(node)
+            return {k: rec(v) for k, v in node.items()}
+        if hasattr(node, "_fields"):  # namedtuple (optax states)
+            return type(node)(*(rec(c) for c in node))
+        if isinstance(node, (tuple, list)):
+            return type(node)(rec(c) for c in node)
+        return rep
+
+    return rec(jax.eval_shape(optimizer.init, params_like))
+
+
 def make_parallel_train_step(
     config: ViTConfig,
     pcfg: PruneConfig,
@@ -39,10 +73,11 @@ def make_parallel_train_step(
     compiled once over the mesh. Callers shard params/batch with
     shard_params/shard_batch; opt_state inherits param shardings."""
     params_sh = _named(mesh, resolve_pspecs(params_like, mesh))
-    # opt_state shardings are left to the compiler (None): Adam moments
-    # mirror param shapes and get laid out with the params.
     batch_sh = _named(mesh, batch_pspecs())
     rep = NamedSharding(mesh, P())
+    # Adam moments explicitly co-sharded with their params (not left to the
+    # compiler, which could replicate moments of model-sharded params)
+    opt_sh = opt_state_shardings(optimizer, params_like, params_sh, rep)
 
     def step(params, opt_state, batch, rng):
         (loss, metrics), grads = jax.value_and_grad(
@@ -55,8 +90,8 @@ def make_parallel_train_step(
 
     return jax.jit(
         step,
-        in_shardings=(params_sh, None, batch_sh, rep),
-        out_shardings=(params_sh, None, None),
+        in_shardings=(params_sh, opt_sh, batch_sh, rep),
+        out_shardings=(params_sh, opt_sh, None),
         donate_argnums=(0, 1),
     )
 

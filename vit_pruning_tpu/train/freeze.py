@@ -81,3 +81,43 @@ def masked_adam(params: dict, policy: str, lr: float) -> optax.GradientTransform
     return optax.multi_transform(
         {"train": optax.adam(lr), "freeze": optax.set_to_zero()}, labels
     )
+
+
+def per_predictor_adam(
+    params: dict, lr: float, lr_scales=None, policy: str = "mlp_train"
+) -> optax.GradientTransformation:
+    """M19's per-MLP optimizers (mukunda/deit.py:131-156: each NeuralNet owns
+    `torch.optim.Adam(self.parameters())` and steps on its own loss).
+
+    Adam is elementwise and each predictor's loss only reaches its own
+    parameters (oracle targets are stop-gradient'd), so N independent Adams
+    with equal hyperparameters are mathematically identical to one Adam over
+    the stacked predictor tree — which is what masked_adam builds. This
+    constructor makes the per-predictor structure explicit and adds the one
+    thing a shared optimizer cannot express: per-predictor learning rates.
+
+    lr_scales: optional [num_layers] multipliers applied to each predictor's
+    update along the stacked leading axis (None = all 1.0, == masked_adam).
+    """
+    base = masked_adam(params, policy, lr)
+    if lr_scales is None:
+        return base
+    import jax.numpy as jnp
+
+    scales = jnp.asarray(lr_scales)
+
+    def scale_predictor_updates(updates, state, params=None):
+        del params
+
+        def scale_leaf(u):
+            if u.ndim >= 1 and u.shape[0] == scales.shape[0]:
+                return u * scales.reshape((-1,) + (1,) * (u.ndim - 1))
+            return u
+
+        scaled = dict(updates)
+        if updates.get("predictor") is not None:
+            scaled["predictor"] = jax.tree.map(scale_leaf, updates["predictor"])
+        return scaled, state
+
+    scaler = optax.GradientTransformation(lambda p: optax.EmptyState(), scale_predictor_updates)
+    return optax.chain(base, scaler)

@@ -27,7 +27,7 @@ from vit_pruning_tpu.configs import PruneConfig, ViTConfig
 from vit_pruning_tpu.models.pruned_vit import pruned_vit_forward
 from vit_pruning_tpu.train.freeze import masked_adam, policy_for_loss_type
 from vit_pruning_tpu.train.losses import cross_entropy
-from vit_pruning_tpu.train.metrics import EvalAccumulator
+from vit_pruning_tpu.train.metrics import EvalAccumulator, MLPTracker
 from vit_pruning_tpu.checkpoint import BestCheckpoint
 
 COSINE_LOSS_RATIO = 1.0  # main_model_utils.py:103
@@ -60,6 +60,9 @@ def total_loss_fn(
         "cls_loss": cls_loss,
         "pred_loss": pred_loss,
         "accuracy": jnp.mean((out["logits"].argmax(-1) == batch["labels"]).astype(jnp.float32)),
+        # per-layer predictor-vs-oracle confusion counts, feeding the M19
+        # per-predictor running accuracy tracker (mukunda/deit.py:183-229)
+        "confusion": out["aux"]["confusion"],
     }
     return total, metrics
 
@@ -197,19 +200,28 @@ def train(
         return opt, make_train_step(config, pcfg, loss_t, opt, compute_dtype=compute_dtype)
 
     start_epoch = 0
+    state_path = (
+        os.path.join(os.path.abspath(state_dir), f"state_{loss_type}")
+        if state_dir else None
+    )
     if loss_type != "alternate":
         optimizer, step = build(loss_type)
         opt_state = optimizer.init(params)
-        if state_dir:
-            state_path = os.path.join(os.path.abspath(state_dir), f"state_{loss_type}")
-            if os.path.exists(state_path):
-                state = restore_checkpoint(
-                    state_path,
-                    {"params": params, "opt_state": opt_state, "epoch": 0},
-                )
-                params, opt_state = state["params"], state["opt_state"]
-                start_epoch = int(state["epoch"]) + 1
-                log(f"resumed from {state_path} at epoch {start_epoch}")
+        if state_path and os.path.exists(state_path):
+            state = restore_checkpoint(
+                state_path,
+                {"params": params, "opt_state": opt_state, "epoch": 0},
+            )
+            params, opt_state = state["params"], state["opt_state"]
+            start_epoch = int(state["epoch"]) + 1
+            log(f"resumed from {state_path} at epoch {start_epoch}")
+    elif state_path and os.path.exists(state_path):
+        # alternate rebuilds its optimizer every epoch (main_model_utils.py:
+        # 125-129), so exact resume needs only params + the epoch counter
+        state = restore_checkpoint(state_path, {"params": params, "epoch": 0})
+        params = state["params"]
+        start_epoch = int(state["epoch"]) + 1
+        log(f"resumed from {state_path} at epoch {start_epoch}")
     eval_step = make_eval_step(config, pcfg, full_testing)
 
     for epoch in range(start_epoch, num_epochs):
@@ -223,11 +235,16 @@ def train(
         epoch_rng = jax.random.fold_in(rng, epoch)
 
         running, nb = 0.0, 0
+        tracker = MLPTracker(config.num_layers)
         for batch in train_batches:
             epoch_rng, sub = jax.random.split(epoch_rng)
             params, opt_state, metrics = step(params, opt_state, batch, sub)
             running += float(metrics["loss"])
+            if "confusion" in metrics:
+                tracker.update(np.asarray(metrics["confusion"]))
             nb += 1
+        if tracker.samples.sum() > 0:
+            log(tracker.report() + "\n")
 
         val_acc, mlp_acc, _ = evaluate(
             params, test_batches, config, pcfg,
@@ -235,10 +252,14 @@ def train(
         )
         if best is not None:
             best.update(val_acc, params)
-        if state_dir and loss_type != "alternate":
-            save_checkpoint(
-                state_path, {"params": params, "opt_state": opt_state, "epoch": epoch}
-            )
+        if state_path:
+            if loss_type != "alternate":
+                save_checkpoint(
+                    state_path,
+                    {"params": params, "opt_state": opt_state, "epoch": epoch},
+                )
+            else:
+                save_checkpoint(state_path, {"params": params, "epoch": epoch})
         if viz_dir:
             from vit_pruning_tpu.viz.blackout import training_mask_dump
 

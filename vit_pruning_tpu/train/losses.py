@@ -33,7 +33,14 @@ def bce_with_logits(
 
 
 def weighted_bce_oracle(scores: jnp.ndarray, keep_labels: jnp.ndarray) -> jnp.ndarray:
-    """The M2 predictor loss (model_utils.py:103-108).
+    """The M2 predictor loss (model_utils.py:103-108), with one deliberate
+    deviation: the reference's `labels = boolean_mask[:, 1:]` trains BCE
+    against the predictor's OWN thresholded mask (a self-consistency loss
+    that reinforces whatever the predictor already says); we train against
+    the similarity-oracle keep labels, which is what the surrounding
+    confusion-matrix/accuracy machinery (model_utils.py:109-113) measures
+    the predictor against. Documented in PARITY.md (M2) alongside the
+    double-sigmoid fidelity note.
 
     scores: [B, N] post-sigmoid predictor outputs (used as logits — see module
     docstring). keep_labels: [B, N] bool, True = oracle says process.

@@ -72,6 +72,16 @@ class EvalAccumulator:
         diag = self.confusion[:, 0, 0] + self.confusion[:, 1, 1]
         return diag / np.maximum(self.confusion.sum(axis=(1, 2)), 1)
 
+    @property
+    def class_accuracy_per_layer(self) -> np.ndarray:
+        """[L, 2] per-class predictor accuracy: column 0 = 'skip' class
+        (true label 0) recall, column 1 = 'keep' class (true label 1) recall
+        — the M19 class_0_acc/class_1_acc diagnostics
+        (mukunda/deit.py:183-229)."""
+        skip = self.confusion[:, 0, 0] / np.maximum(self.confusion[:, 0].sum(axis=1), 1)
+        keep = self.confusion[:, 1, 1] / np.maximum(self.confusion[:, 1].sum(axis=1), 1)
+        return np.stack([skip, keep], axis=1)
+
     # --- report formatting (main_model_utils.py:270-294) ---
 
     def layer_table(self) -> str:
@@ -109,3 +119,57 @@ class EvalAccumulator:
             + self.confusion_table()
             + f"\nOverall accuracy: {self.accuracy:.2%}\n"
         )
+
+
+class MLPTracker:
+    """M19's per-predictor running training diagnostics
+    (mukunda/deit.py:158-231 `track_mlp_loss`): for each predictor MLP
+    (one per layer), a running [samples, accuracy, positives, class-0
+    ('skip') accuracy, class-1 ('keep') accuracy] aggregate, updated every
+    train step from the per-layer confusion counts. The reference keeps the
+    same five numbers per NeuralNet identity; here the whole table updates
+    from one [L, 2, 2] device array per step."""
+
+    def __init__(self, num_layers: int):
+        self.num_layers = num_layers
+        self.confusion = np.zeros((num_layers, 2, 2), dtype=np.int64)
+
+    def update(self, confusion: np.ndarray):
+        self.confusion += np.asarray(confusion, dtype=np.int64)
+
+    @property
+    def samples(self) -> np.ndarray:
+        return self.confusion.sum(axis=(1, 2))
+
+    @property
+    def positives(self) -> np.ndarray:
+        """Running count of 'keep' (class-1) oracle labels per predictor."""
+        return self.confusion[:, 1].sum(axis=1)
+
+    @property
+    def accuracy(self) -> np.ndarray:
+        diag = self.confusion[:, 0, 0] + self.confusion[:, 1, 1]
+        return diag / np.maximum(self.samples, 1)
+
+    @property
+    def class_accuracy(self) -> np.ndarray:
+        """[L, 2]: per-class (skip, keep) recall per predictor."""
+        skip = self.confusion[:, 0, 0] / np.maximum(self.confusion[:, 0].sum(axis=1), 1)
+        keep = self.confusion[:, 1, 1] / np.maximum(self.confusion[:, 1].sum(axis=1), 1)
+        return np.stack([skip, keep], axis=1)
+
+    def report(self) -> str:
+        import pandas as pd
+
+        ca = self.class_accuracy
+        df = pd.DataFrame(
+            {
+                "samples": self.samples,
+                "accuracy": np.round(self.accuracy * 100, 1),
+                "positives": self.positives,
+                "skip_acc": np.round(ca[:, 0] * 100, 1),
+                "keep_acc": np.round(ca[:, 1] * 100, 1),
+            },
+            index=[f"mlp_{i}" for i in range(self.num_layers)],
+        )
+        return "Per-predictor training accuracy (M19):\n" + df.to_string()
