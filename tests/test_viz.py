@@ -115,3 +115,24 @@ def test_similarity_profile_and_plots(run, tmp_path):
         str(tmp_path / "train.png"),
     )
     assert os.path.getsize(p) > 1000
+
+
+def test_inference_report_class_names_and_batch_table(run, tmp_path):
+    """V6 parity: class-name display + multi-image batch summary + top-5."""
+    from vit_pruning_tpu.data.cifar100_labels import CIFAR100_FINE_LABELS
+
+    _, x, out = run
+    imgs = [np.asarray(xi).transpose(1, 2, 0) for xi in x]
+    logits = np.asarray(out["logits"])
+    names = CIFAR100_FINE_LABELS[: logits.shape[-1]]
+    path = inference_report(
+        imgs, np.asarray(out["keep_masks"]), logits, CFG.patch_size,
+        class_names=names, out_path=str(tmp_path / "report.html"),
+    )
+    html = open(path).read()
+    assert "Batch inference summary" in html
+    assert "Top-5:" in html
+    preds = logits.argmax(-1)
+    for p in preds:
+        assert names[p] in html
+    assert "mean skip" in html

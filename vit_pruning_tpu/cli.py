@@ -317,8 +317,14 @@ def cmd_viz(args) -> int:
     sims = layer_similarity_profile(params["backbone"], x, config)
     plot_similarity_distributions(sims, os.path.join(o, "cosine_similarity.png"))
     hwc = [np.asarray(xi).transpose(1, 2, 0) * 0.5 + 0.5 for xi in x[:4]]
+    class_names = None
+    if config.num_labels == 100:
+        from vit_pruning_tpu.data.cifar100_labels import CIFAR100_FINE_LABELS
+
+        class_names = CIFAR100_FINE_LABELS
     inference_report(
         hwc, km[:, :4], np.asarray(out["logits"])[:4], config.patch_size,
+        class_names=class_names,
         out_path=os.path.join(o, "report.html"),
     )
     print(f"viz artifacts written to {o}/")

@@ -63,17 +63,43 @@ def inference_report(
         "<h1>Token-skip inference report</h1>",
     ]
 
+    def _name(c: int) -> str:
+        return class_names[c] if class_names is not None else f"class {c}"
+
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = probs / probs.sum(-1, keepdims=True)
+
+    # batch summary table (the reference demo's multi-image inference tab,
+    # final_interiit.py:1009-)
+    parts.append("<h2>Batch inference summary</h2>")
+    parts.append(
+        "<table border='1' cellpadding='4' style='border-collapse:collapse'>"
+        "<tr><th>image</th><th>prediction</th><th>confidence</th>"
+        "<th>mean skip</th></tr>"
+    )
+    for bi in range(len(images)):
+        skip_bi = 100 * (1 - km[:, bi, 1:].mean())
+        parts.append(
+            f"<tr><td>{bi}</td><td>{_name(preds[bi])}</td>"
+            f"<td>{probs[bi].max():.1%}</td><td>{skip_bi:.1f}%</td></tr>"
+        )
+    parts.append("</table>")
+
     fig, avg_skips = skips_per_layer_chart(km)
     parts.append("<h2>Average skipped patches per layer</h2>")
     parts.append(f'<img src="data:image/png;base64,{_png_b64(fig)}"/>')
 
     for bi, img in enumerate(images):
-        name = (
-            class_names[preds[bi]] if class_names is not None else f"class {preds[bi]}"
+        parts.append(
+            f"<h2>Image {bi}: predicted <b>{_name(preds[bi])}</b> "
+            f"({probs[bi].max():.1%})</h2>"
         )
-        conf = float(np.exp(logits[bi] - logits[bi].max()).max()
-                     / np.exp(logits[bi] - logits[bi].max()).sum())
-        parts.append(f"<h2>Image {bi}: predicted <b>{name}</b> ({conf:.1%})</h2>")
+        top5 = np.argsort(probs[bi])[::-1][:5]
+        parts.append(
+            "<p>Top-5: "
+            + ", ".join(f"{_name(int(c))} ({probs[bi, c]:.1%})" for c in top5)
+            + "</p>"
+        )
         parts.append(
             f'<img src="data:image/png;base64,{_img_b64(np.asarray(img))}" width="224"/>'
         )
