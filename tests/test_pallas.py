@@ -122,3 +122,64 @@ def test_differentiable_fused_layer_grads_match():
     np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=2e-4, rtol=1e-3)
     for a, b in zip(jax.tree.leaves(gp1), jax.tree.leaves(gp2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("attn_impl", ["unrolled", "batched"])
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_layer_attn_impls_match_reference(attn_impl, masked):
+    """Both megakernel attention implementations match the jnp layer."""
+    from vit_pruning_tpu.configs import ViTConfig
+    from vit_pruning_tpu.models.vit import init_vit_params, vit_layer
+    from vit_pruning_tpu.ops.pallas.layer import fused_vit_layer
+
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=64, num_layers=1,
+                    num_heads=2, mlp_dim=128, num_labels=10)
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 17, 64))
+    mask = None
+    if masked:
+        mask = jax.random.uniform(jax.random.PRNGKey(2), (4, 17)) > 0.3
+        mask = mask.at[:, 0].set(True)
+
+    ref = vit_layer(x, lp, cfg, token_mask=mask)
+    got = fused_vit_layer(
+        x, lp, cfg.num_heads, eps=cfg.layernorm_eps, token_mask=mask,
+        interpret=True, attn_impl=attn_impl,
+    )
+    if masked:
+        err = np.abs(np.asarray(got - ref)) * np.asarray(mask)[..., None]
+    else:
+        err = np.abs(np.asarray(got - ref))
+    assert err.max() < 2e-5
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_encoder_matches_layer_loop(masked):
+    """Whole-encoder megakernel == L sequential jnp layers."""
+    from vit_pruning_tpu.configs import ViTConfig
+    from vit_pruning_tpu.models.vit import init_vit_params, vit_layer
+    from vit_pruning_tpu.ops.pallas.model import fused_vit_encoder
+
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=64, num_layers=3,
+                    num_heads=2, mlp_dim=128, num_labels=10)
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 17, 64))
+    mask = None
+    if masked:
+        mask = jax.random.uniform(jax.random.PRNGKey(2), (4, 17)) > 0.3
+        mask = mask.at[:, 0].set(True)
+
+    ref = x
+    for i in range(cfg.num_layers):
+        lp = jax.tree.map(lambda a: a[i], params["layers"])
+        ref = vit_layer(ref, lp, cfg, token_mask=mask)
+
+    got = fused_vit_encoder(
+        x, params["layers"], cfg.num_heads, eps=cfg.layernorm_eps,
+        token_mask=mask, interpret=True,
+    )
+    err = np.abs(np.asarray(got - ref))
+    if masked:
+        err = err * np.asarray(mask)[..., None]
+    assert err.max() < 1e-4

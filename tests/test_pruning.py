@@ -223,3 +223,35 @@ def test_losses_match_torch():
     ref_ce = torch.nn.CrossEntropyLoss()(torch.from_numpy(logits), torch.from_numpy(y))
     got_ce = cross_entropy(jnp.asarray(logits), jnp.asarray(y))
     np.testing.assert_allclose(float(got_ce), float(ref_ce), rtol=1e-5)
+
+
+def test_bucketed_masked_layer_matches_full_length():
+    """Serving mask mode (bucketed compaction) == full-length masked layer
+    on kept rows, across mask densities (including all-kept)."""
+    from vit_pruning_tpu.models.pruned_vit import bucketed_masked_layer
+    from vit_pruning_tpu.models.vit import init_vit_params, vit_layer
+
+    cfg = CFG
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, cfg.seq_len, cfg.hidden_size))
+    for density, seed in [(0.3, 2), (0.6, 3), (1.1, 4)]:
+        mask = jax.random.uniform(jax.random.PRNGKey(seed), (4, cfg.seq_len)) < density
+        mask = mask.at[:, 0].set(True)
+        ref = vit_layer(x, lp, cfg, token_mask=mask)
+        got = bucketed_masked_layer(x, lp, mask, cfg)
+        err = np.abs(np.asarray(got - ref)) * np.asarray(mask)[..., None]
+        assert err.max() < 1e-4, (density, err.max())
+
+
+def test_mask_mode_serving_equals_oracle_instrumented_outputs():
+    """The serving (bucketed) and training (full-length) mask paths agree."""
+    pcfg = PruneConfig(mode="mask", predictor="cls_mlp", mlp_threshold=0.5)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, CFG.image_size, CFG.image_size))
+    serve = pruned_vit_forward(params, x, CFG, pcfg)
+    instr = pruned_vit_forward(params, x, CFG, pcfg, compute_oracle=True,
+                               rng=jax.random.PRNGKey(2))
+    np.testing.assert_allclose(
+        np.asarray(serve["logits"]), np.asarray(instr["logits"]), atol=1e-4, rtol=1e-4
+    )

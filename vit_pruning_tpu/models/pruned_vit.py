@@ -95,6 +95,58 @@ def _is_active(pcfg: PruneConfig, i: int) -> bool:
     return pcfg.active_layers is None or i in pcfg.active_layers
 
 
+def _bucket_caps(s: int) -> tuple:
+    """Static capacity ladder for bucketed mask-mode execution: multiples of
+    8 (sublane alignment) from ~3/8 of the sequence up to full length."""
+    caps = sorted({max(8, ((int(s * f) + 7) // 8) * 8) for f in
+                   (0.375, 0.5, 0.625, 0.75, 0.875)} | {s})
+    return tuple(c for c in caps if c <= s)
+
+
+def bucketed_masked_layer(
+    x: jnp.ndarray,
+    layer_params: dict,
+    mask: jnp.ndarray,
+    config: ViTConfig,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Mask-mode layer with REAL compute savings (SURVEY §7 hard part (b)).
+
+    Exact mask semantics (each kept token attends over exactly the kept-key
+    set, reference himanshu/model_utils.py:88-91) but instead of running all
+    S positions and discarding masked rows, tokens are compacted kept-first
+    (stable order) and the layer runs at the smallest static bucket capacity
+    that holds the batch's max kept-count — `lax.switch` selects among a
+    ladder of pre-compiled capacities at runtime, keeping every shape static
+    for XLA while letting the executed FLOPs track the actual mask density.
+
+    Returns a full-length [B, S, D] tensor whose masked rows are garbage —
+    the same contract as `vit_layer(x, token_mask=mask)`; callers overwrite
+    masked rows with the passthrough value.
+    """
+    b, s, _ = x.shape
+    counts = mask.sum(-1).astype(jnp.int32)  # [B], CLS included
+    maxc = counts.max()
+    cidx_full = compact_indices(mask, s)  # [B, S] kept-first, stable
+    caps = _bucket_caps(s)
+
+    def make_branch(cap):
+        def br(x):
+            cidx = cidx_full[:, :cap]
+            xc = gather_compact(x, cidx)
+            key_ok = (
+                jax.lax.broadcasted_iota(jnp.int32, (b, cap), 1)
+                < counts[:, None]
+            )
+            yc = vit_layer(xc, layer_params, config, token_mask=key_ok,
+                           use_pallas=use_pallas)
+            return scatter_back(x, cidx, yc)
+        return br
+
+    idx = jnp.searchsorted(jnp.asarray(caps, jnp.int32), maxc)
+    return jax.lax.switch(idx, [make_branch(c) for c in caps], x)
+
+
 def pruned_layer_forward(
     layer_params: dict,
     pred_params: Optional[dict],
@@ -165,6 +217,12 @@ def pruned_layer_forward(
             # M15 (recap/convprad.py:188-190): skipped tokens stay in K/V;
             # only their own (query) outputs are discarded
             y = vit_layer(x, layer_params, config, use_pallas=use_pallas)
+            out = jnp.where(mask[..., None], y, _passthrough(x, extras, mask))
+        elif not need_oracle:
+            # serving: bucketed compaction — same kept-key attention set,
+            # but the executed shape tracks the batch's actual mask density
+            y = bucketed_masked_layer(x, layer_params, mask, config,
+                                      use_pallas=use_pallas)
             out = jnp.where(mask[..., None], y, _passthrough(x, extras, mask))
         else:
             y = vit_layer(x, layer_params, config, token_mask=mask, use_pallas=use_pallas)
@@ -430,10 +488,40 @@ def progressive_topk_forward(
     orig = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
     masks, scores_l = [], []
     cur = s
+
+    # group consecutive no-drop layers into segments so each segment runs in
+    # ONE whole-encoder megakernel launch (activations VMEM-resident across
+    # the segment; see ops/pallas/model.py)
+    from vit_pruning_tpu.ops.pallas.model import encoder_weights_fit
+
+    itemsize = jax.tree.leaves(backbone["layers"])[0].dtype.itemsize
+    fuse_segments = use_pallas and encoder_weights_fit(
+        L, config.hidden_size, config.mlp_dim, itemsize
+    )
+
+    def run_segment(x, l0, l1):
+        """Layers [l0, l1) at fixed sequence length."""
+        if l1 == l0:
+            return x
+        if fuse_segments:
+            from vit_pruning_tpu.ops.pallas.model import differentiable_fused_encoder
+
+            seg = jax.tree.map(lambda a: a[l0:l1], backbone["layers"])
+            return differentiable_fused_encoder(
+                config.num_heads, config.layernorm_eps
+            )(x, seg, None)
+        for j in range(l0, l1):
+            x = vit_layer(x, _layer_slice(backbone["layers"], j), config,
+                          use_pallas=use_pallas)
+        return x
+
+    seg_start = 0
     for i in range(L):
         lp = _layer_slice(backbone["layers"], i)
         k_i = schedule[i]
         if k_i and k_i < cur - 1 and _is_active(pcfg, i):
+            x = run_segment(x, seg_start, i)
+            seg_start = i
             scores, _ = apply_predictor(
                 pred, i, x, config, pcfg, layer_params=lp
             )  # [B, cur-1]
@@ -452,10 +540,10 @@ def progressive_topk_forward(
             cur = k_i + 1
         else:
             scores_l.append(jnp.full((b, s - 1), -jnp.inf, x.dtype))
-        x = vit_layer(x, lp, config, use_pallas=use_pallas)
         live = jnp.zeros((b, s), bool)
         live = jax.vmap(lambda m, o: m.at[o].set(True))(live, orig)
         masks.append(live)
+    x = run_segment(x, seg_start, L)
 
     x = layer_norm(x, backbone["ln_f"], config.layernorm_eps)
     cls = x[:, 0]

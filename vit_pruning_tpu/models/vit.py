@@ -159,10 +159,25 @@ def vit_forward(
             if output_hidden_states:
                 hidden_states.append(x)
     else:
-        def body(carry, layer_params):
-            return vit_layer(carry, layer_params, config, use_pallas=use_pallas), None
+        from vit_pruning_tpu.ops.pallas.model import (
+            differentiable_fused_encoder,
+            encoder_weights_fit,
+        )
 
-        x, _ = jax.lax.scan(body, x, params["layers"])
+        itemsize = jax.tree.leaves(params["layers"])[0].dtype.itemsize
+        if use_pallas and encoder_weights_fit(
+            config.num_layers, config.hidden_size, config.mlp_dim, itemsize
+        ):
+            # whole-encoder megakernel: activations stay VMEM-resident
+            # across all layers (one launch, one x-in/x-out HBM round trip)
+            x = differentiable_fused_encoder(
+                config.num_heads, config.layernorm_eps
+            )(x, params["layers"], None)
+        else:
+            def body(carry, layer_params):
+                return vit_layer(carry, layer_params, config, use_pallas=use_pallas), None
+
+            x, _ = jax.lax.scan(body, x, params["layers"])
 
     x = layer_norm(x, params["ln_f"], config.layernorm_eps)
     cls = x[:, 0]

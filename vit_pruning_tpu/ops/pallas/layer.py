@@ -50,7 +50,10 @@ def _kernel(
     o_ref,
     ctx_ref,  # scratch [BT*S, KW] (KW = num_heads * head_dim, == D unless heads are pruned)
     *, bt: int, s: int, s_real: int, h: int, hd: int, d: int, eps: float, scale: float,
+    attn_impl: str = "unrolled", ablate: str = "none",
 ):
+    # `ablate` is measurement-only instrumentation (scripts/kernel_lab.py):
+    # it skips a section to attribute kernel time (never used by model code).
     kw = h * hd
     x = x_ref[:].reshape(bt * s, d).astype(jnp.float32)
 
@@ -59,37 +62,90 @@ def _kernel(
     qkv = jnp.dot(
         h1.astype(wqkv_ref.dtype), wqkv_ref[:], preferred_element_type=jnp.float32
     ) + bqkv_ref[:].astype(jnp.float32)  # [BT*S, 3D]
+    # attention dots run in the input dtype (bf16 on the MXU at full rate;
+    # fp32 inputs keep fp32 dots) with fp32 accumulation + fp32 softmax —
+    # standard flash-attention numerics
     qkv = qkv.astype(x_ref.dtype)
 
-    # per-image, per-head attention, accumulated into ctx scratch
-    for b in range(bt):
-        rows = pl.ds(b * s, s)
+    if ablate in ("attn", "attn_mlp"):
+        ctx_ref[:] = qkv[:, :kw]
+    elif ablate == "qkv":
+        # skip the QKV matmul AND attention: isolates the base
+        # (x io + LN + O-proj + MLP) when compared with 'attn'
+        ctx_ref[:] = h1[:, :kw].astype(ctx_ref.dtype)
+    elif attn_impl == "batched":
+        # head-batched attention: two batched dot_generals with (image, head)
+        # folded into ONE batch dim (Mosaic's tpu.matmul supports exactly one)
+        # instead of BT*H unrolled [S, hd] dots
+        q3 = qkv[:, 0 * kw:1 * kw].reshape(bt, s, h, hd).transpose(0, 2, 1, 3).reshape(bt * h, s, hd)
+        k3 = qkv[:, 1 * kw:2 * kw].reshape(bt, s, h, hd).transpose(0, 2, 1, 3).reshape(bt * h, s, hd)
+        v3 = qkv[:, 2 * kw:3 * kw].reshape(bt, s, h, hd).transpose(0, 2, 1, 3).reshape(bt * h, s, hd)
+        logits = jax.lax.dot_general(
+            q3, k3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [BT*H, S, S]
         if mask_ref is not None:
-            key_ok = mask_ref[b, :, :] != 0  # [1, S]
+            key_ok = jnp.repeat(mask_ref[:, :, :] != 0, h, axis=0)  # [BT*H, 1, S]
         else:
-            col = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
             key_ok = col < s_real
-        for head in range(h):
-            q = qkv[b * s:(b + 1) * s, head * hd:(head + 1) * hd].astype(jnp.float32)
-            k = qkv[b * s:(b + 1) * s, kw + head * hd:kw + (head + 1) * hd].astype(jnp.float32)
-            v = qkv[b * s:(b + 1) * s, 2 * kw + head * hd:2 * kw + (head + 1) * hd].astype(jnp.float32)
+        logits = jnp.where(key_ok, logits, NEG_INF)
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(qkv.dtype)
+        ctx3 = jax.lax.dot_general(
+            p, v3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [BT*H, S, hd]
+        ctx_ref[:] = (
+            ctx3.reshape(bt, h, s, hd).transpose(0, 2, 1, 3)
+            .reshape(bt * s, kw).astype(ctx_ref.dtype)
+        )
+    else:
+        f32 = attn_impl == "unrolled_f32"
+        # per-image, per-head attention, accumulated into ctx scratch
+        for b in range(bt):
+            rows = pl.ds(b * s, s)
+            if mask_ref is not None:
+                key_ok = mask_ref[b, :, :] != 0  # [1, S]
+            else:
+                col = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+                key_ok = col < s_real
+            for head in range(h):
+                q = qkv[b * s:(b + 1) * s, head * hd:(head + 1) * hd]
+                k = qkv[b * s:(b + 1) * s, kw + head * hd:kw + (head + 1) * hd]
+                v = qkv[b * s:(b + 1) * s, 2 * kw + head * hd:2 * kw + (head + 1) * hd]
+                if f32:
+                    q, k, v = (t.astype(jnp.float32) for t in (q, k, v))
 
-            logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale
-            logits = jnp.where(key_ok, logits, NEG_INF)
-            logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            ctx_ref[rows, pl.ds(head * hd, hd)] = jnp.dot(
-                p, v, preferred_element_type=jnp.float32
-            ).astype(ctx_ref.dtype)
+                if ablate == "dots":  # slicing only: no matmuls, no softmax
+                    ctx_ref[rows, pl.ds(head * hd, hd)] = (q + k + v).astype(ctx_ref.dtype)
+                    continue
+                logits = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                ) * scale
+                if ablate == "softmax":  # dots without exp/normalize
+                    p = logits * 0.001
+                else:
+                    logits = jnp.where(key_ok, logits, NEG_INF)
+                    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+                    p = jnp.exp(logits)
+                    p = p / jnp.sum(p, axis=-1, keepdims=True)
+                if not f32:
+                    p = p.astype(qkv.dtype)
+                ctx_ref[rows, pl.ds(head * hd, hd)] = jnp.dot(
+                    p, v, preferred_element_type=jnp.float32
+                ).astype(ctx_ref.dtype)
 
     # output projection + residual
     attn_out = jnp.dot(
         ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32
     ) + bo_ref[:].astype(jnp.float32)
     x1 = x + attn_out  # [BT*S, D] f32
+
+    if ablate in ("mlp", "attn_mlp"):
+        o_ref[:] = x1.astype(o_ref.dtype).reshape(bt, s, d)
+        return
 
     # LN2 + MLP + residual
     h2 = _layer_norm_f32(x1, ln2g_ref[:].astype(jnp.float32), ln2b_ref[:].astype(jnp.float32), eps)
@@ -142,7 +198,7 @@ def differentiable_fused_layer(num_heads: int, eps: float, interpret: bool = Fal
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "eps", "block_b", "interpret")
+    jax.jit, static_argnames=("num_heads", "eps", "block_b", "interpret", "attn_impl", "ablate")
 )
 def fused_vit_layer(
     x: jnp.ndarray,
@@ -152,6 +208,8 @@ def fused_vit_layer(
     token_mask: Optional[jnp.ndarray] = None,
     block_b: int = 0,
     interpret: bool = False,
+    attn_impl: str = "unrolled",
+    ablate: str = "none",
 ) -> jnp.ndarray:
     """One pre-LN ViT block, fully fused. Same semantics as models.vit.vit_layer.
 
@@ -217,7 +275,7 @@ def fused_vit_layer(
     out = pl.pallas_call(
         functools.partial(
             kernel, bt=bt, s=s_pad, s_real=s, h=num_heads, hd=hd, d=d,
-            eps=eps, scale=scale,
+            eps=eps, scale=scale, attn_impl=attn_impl, ablate=ablate,
         ),
         grid=(b // bt,),
         in_specs=in_specs,

@@ -40,10 +40,12 @@ def total_loss_fn(
     pcfg: PruneConfig,
     loss_type: str,
     rng: Optional[jax.Array],
+    remat: bool = False,
 ):
     """Loss mixing of main_model_utils.py:141-165."""
     out = pruned_vit_forward(
-        params, batch["pixel_values"], config, pcfg, train=True, rng=rng
+        params, batch["pixel_values"], config, pcfg, train=True, rng=rng,
+        remat=remat,
     )
     cls_loss = cross_entropy(out["logits"], batch["labels"])
     pred_loss = out["aux"]["pred_loss"].sum()  # Σ layer.loss (:145-148)
@@ -73,6 +75,7 @@ def make_train_step(
     loss_type: str,
     optimizer: optax.GradientTransformation,
     compute_dtype=None,
+    remat: bool = False,
 ) -> Callable:
     """One jitted optimization step: (params, opt_state, batch, rng) ->
     (params, opt_state, metrics).
@@ -93,7 +96,8 @@ def make_train_step(
                 )
             else:
                 batch_c = batch
-            return total_loss_fn(p, batch_c, config, pcfg, loss_type, rng)
+            return total_loss_fn(p, batch_c, config, pcfg, loss_type, rng,
+                                 remat=remat)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -175,6 +179,7 @@ def train(
     state_dir: Optional[str] = None,
     viz_dir: Optional[str] = None,
     compute_dtype=None,
+    remat: bool = False,
 ) -> dict:
     """One training phase (main_model_utils.py:100-191). Returns params.
 
@@ -197,7 +202,8 @@ def train(
 
     def build(loss_t, policy=None):
         opt = masked_adam(params, policy or policy_for_loss_type(loss_t), lr)
-        return opt, make_train_step(config, pcfg, loss_t, opt, compute_dtype=compute_dtype)
+        return opt, make_train_step(config, pcfg, loss_t, opt,
+                                    compute_dtype=compute_dtype, remat=remat)
 
     start_epoch = 0
     state_path = (
@@ -236,6 +242,9 @@ def train(
 
         running, nb = 0.0, 0
         tracker = MLPTracker(config.num_layers)
+        import time as _time
+
+        t_epoch = _time.perf_counter()
         for batch in train_batches:
             epoch_rng, sub = jax.random.split(epoch_rng)
             params, opt_state, metrics = step(params, opt_state, batch, sub)
@@ -243,6 +252,9 @@ def train(
             if "confusion" in metrics:
                 tracker.update(np.asarray(metrics["confusion"]))
             nb += 1
+        t_epoch = _time.perf_counter() - t_epoch
+        log(f"epoch {epoch}: {nb} steps in {t_epoch:.1f}s "
+            f"({1e3 * t_epoch / max(nb, 1):.1f} ms/step incl. host+compile)")
         if tracker.samples.sum() > 0:
             log(tracker.report() + "\n")
 
