@@ -62,8 +62,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--inner", type=int, default=8,
-                    help="forwards per jitted call (dispatch amortization)")
+    ap.add_argument("--inner", type=int, default=24,
+                    help="forwards per jitted call — amortizes the relay's "
+                         "~30 ms per-dispatch overhead (measured via a pure "
+                         "copy control, scripts/kernel_lab.py)")
     ap.add_argument("--model", default="deit_small")
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--skip", type=float, default=0.5)

@@ -170,11 +170,19 @@ def apply_predictor(
     extras: dict = {}
 
     if kind == "cls_mlp":
-        cls = hidden_states[:, 0:1]
-        x = jnp.concatenate(
-            [jnp.broadcast_to(cls, patches.shape), patches], axis=-1
-        )  # [CLS ⊕ token], model_utils.py:62-63
-        scores = _apply_mlp(_slice_layer(pred_params["mlp"], layer_idx), x)[..., 0]
+        # MLP([CLS ⊕ token]) (model_utils.py:62-63) WITHOUT materializing the
+        # [B, N, 2D] concat: split the first weight into its CLS rows and
+        # token rows — concat([c, t]) @ W == c @ W[:D] + t @ W[D:], and the
+        # CLS term is one [B, 1, H] row broadcast over all patches.
+        p = _slice_layer(pred_params["mlp"], layer_idx)
+        d = hidden_states.shape[-1]
+        w0 = p["l0"]["w"]
+        hidden = (
+            hidden_states[:, 0:1] @ w0[:d] + patches @ w0[d:] + p["l0"]["b"]
+        )
+        hidden = jax.nn.relu(hidden)
+        rest = {f"l{i - 1}": p[f"l{i}"] for i in range(1, len(p))}
+        scores = _apply_mlp(rest, hidden)[..., 0]
     elif kind == "token_mlp":
         scores = _apply_mlp(_slice_layer(pred_params["mlp"], layer_idx), patches)[..., 0]
     elif kind == "common_mlp":

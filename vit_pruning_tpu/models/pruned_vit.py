@@ -228,9 +228,12 @@ def pruned_layer_forward(
             y = vit_layer(x, layer_params, config, token_mask=mask, use_pallas=use_pallas)
             out = jnp.where(mask[..., None], y, _passthrough(x, extras, mask))
     elif pcfg.mode == "topk":
-        keep, _ = topk_keep_mask(scores, pcfg.top_k)
+        keep, kidx = topk_keep_mask(scores, pcfg.top_k)
         mask = add_cls_keep(keep)
-        cidx = compact_indices(mask, pcfg.top_k + 1)  # CLS first, ascending
+        # CLS + sorted top-k patch indices == compact_indices(mask, k+1)
+        cidx = jnp.concatenate(
+            [jnp.zeros((b, 1), jnp.int32),
+             jnp.sort(kidx.astype(jnp.int32), axis=-1) + 1], axis=1)
         xc = gather_compact(x, cidx)
         yc = vit_layer(xc, layer_params, config, use_pallas=use_pallas)
         out = scatter_back(_passthrough(x, extras, mask), cidx, yc)
@@ -492,11 +495,14 @@ def progressive_topk_forward(
     # group consecutive no-drop layers into segments so each segment runs in
     # ONE whole-encoder megakernel launch (activations VMEM-resident across
     # the segment; see ops/pallas/model.py)
+    from vit_pruning_tpu.ops.dispatch import encoder_fusion_enabled
     from vit_pruning_tpu.ops.pallas.model import encoder_weights_fit
 
     itemsize = jax.tree.leaves(backbone["layers"])[0].dtype.itemsize
-    fuse_segments = use_pallas and encoder_weights_fit(
-        L, config.hidden_size, config.mlp_dim, itemsize
+    fuse_segments = (
+        use_pallas
+        and encoder_fusion_enabled()
+        and encoder_weights_fit(L, config.hidden_size, config.mlp_dim, itemsize)
     )
 
     def run_segment(x, l0, l1):
@@ -532,9 +538,13 @@ def progressive_topk_forward(
                 full_scores, patch_orig, scores
             )
             scores_l.append(full_scores)
-            keep, _ = topk_keep_mask(scores, k_i)
-            mask = add_cls_keep(keep)
-            cidx = compact_indices(mask, k_i + 1)
+            # fast compaction: CLS + the sorted top-k patch indices directly
+            # (equivalent to compact_indices over the thresholded mask, but
+            # sorts [B, k] instead of argsorting the full [B, S])
+            _, kidx = jax.lax.top_k(scores, k_i)
+            cidx = jnp.concatenate(
+                [jnp.zeros((b, 1), jnp.int32),
+                 jnp.sort(kidx.astype(jnp.int32), axis=-1) + 1], axis=1)
             x = gather_compact(x, cidx)
             orig = jnp.take_along_axis(orig, cidx, axis=1)
             cur = k_i + 1

@@ -164,8 +164,10 @@ def vit_forward(
             encoder_weights_fit,
         )
 
+        from vit_pruning_tpu.ops.dispatch import encoder_fusion_enabled
+
         itemsize = jax.tree.leaves(params["layers"])[0].dtype.itemsize
-        if use_pallas and encoder_weights_fit(
+        if use_pallas and encoder_fusion_enabled() and encoder_weights_fit(
             config.num_layers, config.hidden_size, config.mlp_dim, itemsize
         ):
             # whole-encoder megakernel: activations stay VMEM-resident

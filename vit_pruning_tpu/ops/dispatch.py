@@ -59,6 +59,27 @@ def use_pallas(differentiable_needed: bool = False) -> bool:
     return _on_tpu()
 
 
+_ENCODER_FUSION = None
+
+
+def set_encoder_fusion(enabled: bool):
+    """Opt into the whole-encoder megakernel (ops/pallas/model.py)."""
+    global _ENCODER_FUSION
+    _ENCODER_FUSION = bool(enabled)
+
+
+def encoder_fusion_enabled() -> bool:
+    """Whole-encoder fusion is OPT-IN (env VIT_PRUNING_TPU_ENCODER=1 or
+    set_encoder_fusion): measured equal to the per-layer megakernel on v5e
+    (both compute-bound; inter-layer HBM x-io is fully overlapped) while its
+    first compile costs ~12 minutes on the remote-compile relay."""
+    if _ENCODER_FUSION is not None:
+        return _ENCODER_FUSION
+    import os
+
+    return os.environ.get("VIT_PRUNING_TPU_ENCODER") == "1"
+
+
 def attention_kernel_enabled() -> bool:
     """The standalone fused-attention kernel currently loses to XLA's fused
     attention at ViT shapes (the win needs the whole-layer megakernel);

@@ -49,8 +49,9 @@ def _kernel(
     ln2g_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref,
     ctx_ref,  # scratch [BT*S, KW] (KW = num_heads * head_dim, == D unless heads are pruned)
+    logits_ref,  # scratch [BT*H*S, S] f32 (attn_impl='staged' only; else (8, 128) dummy)
     *, bt: int, s: int, s_real: int, h: int, hd: int, d: int, eps: float, scale: float,
-    attn_impl: str = "unrolled", ablate: str = "none",
+    attn_impl: str = "staged", ablate: str = "none",
 ):
     # `ablate` is measurement-only instrumentation (scripts/kernel_lab.py):
     # it skips a section to attribute kernel time (never used by model code).
@@ -69,6 +70,42 @@ def _kernel(
 
     if ablate in ("attn", "attn_mlp"):
         ctx_ref[:] = qkv[:, :kw]
+    elif attn_impl == "staged":
+        # three homogeneous stages instead of BT*H interleaved MXU/VPU
+        # blocks: (1) all QK^T dots into one logits scratch, (2) ONE
+        # vectorized masked softmax over [BT*H*S, S], (3) all PV dots.
+        # De-interleaving keeps the MXU busy through stage 1/3 and lets the
+        # softmax vectorize across every (image, head) row at once.
+        for b in range(bt):
+            if mask_ref is not None:
+                key_ok = mask_ref[b, :, :] != 0  # [1, S]
+            else:
+                key_ok = None
+            for head in range(h):
+                q = qkv[b * s:(b + 1) * s, head * hd:(head + 1) * hd]
+                k = qkv[b * s:(b + 1) * s, kw + head * hd:kw + (head + 1) * hd]
+                logits = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                if key_ok is not None:
+                    logits = jnp.where(key_ok, logits, NEG_INF)
+                logits_ref[pl.ds((b * h + head) * s, s), :] = logits
+        logits = logits_ref[:]
+        if mask_ref is None:
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+            logits = jnp.where(col < s_real, logits, NEG_INF)
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits)
+        logits_ref[:] = p / jnp.sum(p, axis=-1, keepdims=True)
+        for b in range(bt):
+            rows = pl.ds(b * s, s)
+            for head in range(h):
+                v = qkv[b * s:(b + 1) * s, 2 * kw + head * hd:2 * kw + (head + 1) * hd]
+                p_bh = logits_ref[pl.ds((b * h + head) * s, s), :].astype(qkv.dtype)
+                ctx_ref[rows, pl.ds(head * hd, hd)] = jnp.dot(
+                    p_bh, v, preferred_element_type=jnp.float32
+                ).astype(ctx_ref.dtype)
     elif ablate == "qkv":
         # skip the QKV matmul AND attention: isolates the base
         # (x io + LN + O-proj + MLP) when compared with 'attn'
@@ -159,7 +196,8 @@ def _kernel(
 
 
 @functools.lru_cache(maxsize=None)
-def differentiable_fused_layer(num_heads: int, eps: float, interpret: bool = False):
+def differentiable_fused_layer(num_heads: int, eps: float, interpret: bool = False,
+                               attn_impl: str = "staged"):
     """fused_vit_layer with a custom VJP: forward runs the Pallas megakernel,
     backward recomputes through the jnp reference layer and differentiates
     that (rematerialization — the standard trade for fused forwards). Token
@@ -181,7 +219,8 @@ def differentiable_fused_layer(num_heads: int, eps: float, interpret: bool = Fal
     @jax.custom_vjp
     def f(x, params, token_mask):
         return fused_vit_layer(
-            x, params, num_heads, eps=eps, token_mask=token_mask, interpret=interpret
+            x, params, num_heads, eps=eps, token_mask=token_mask,
+            interpret=interpret, attn_impl=attn_impl,
         )
 
     def f_fwd(x, params, token_mask):
@@ -208,7 +247,7 @@ def fused_vit_layer(
     token_mask: Optional[jnp.ndarray] = None,
     block_b: int = 0,
     interpret: bool = False,
-    attn_impl: str = "unrolled",
+    attn_impl: str = "staged",
     ablate: str = "none",
 ) -> jnp.ndarray:
     """One pre-LN ViT block, fully fused. Same semantics as models.vit.vit_layer.
@@ -281,7 +320,13 @@ def fused_vit_layer(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bt, s_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s_pad, d), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bt * s_pad, kv_width), x.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((bt * s_pad, kv_width), x.dtype),
+            pltpu.VMEM(
+                (bt * num_heads * s_pad, s_pad) if attn_impl == "staged" else (8, 128),
+                jnp.float32,
+            ),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
