@@ -70,9 +70,12 @@ def main():
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--skip", type=float, default=0.5)
     ap.add_argument("--kernels", default="auto", choices=["auto", "pallas", "xla"])
-    ap.add_argument("--mode", default="topk_prog", choices=["topk", "topk_prog", "mask"],
+    ap.add_argument("--mode", default="topk_prog",
+                    choices=["topk", "topk_prog", "mask", "random"],
                     help="topk_prog = progressive compaction (serving path); "
-                         "topk/mask = reference per-layer re-decide semantics")
+                         "topk/mask = reference per-layer re-decide semantics; "
+                         "random = M14 control — fixed per-image budget, i.e. "
+                         "mask-mode execution cost at the EXACT skip rate")
     ap.add_argument("--schedule", default=None,
                     help="comma-separated per-layer patch keep counts for "
                          "topk_prog (e.g. '128,128,64,64,64,64,32,32,32,32,32,32'); "
@@ -132,7 +135,8 @@ def main():
             if mode == "topk_prog":
                 f = lambda p, v: progressive_topk_forward(p, v, config, pc)["logits"]
             else:
-                f = lambda p, v: pruned_vit_forward(p, v, config, pc)["logits"]
+                rng_ = jax.random.PRNGKey(7) if mode == "random" else None
+                f = lambda p, v: pruned_vit_forward(p, v, config, pc, rng=rng_)["logits"]
             fn = amortized(f, args.inner)
             t = timeit(fn, (params0, xb), args.iters) / args.inner
         return {"model": model_name, "skip": skip, "mode": mode if skip > 0 else "dense",
@@ -223,7 +227,9 @@ def main():
         pruned_fn = lambda p, v: progressive_topk_forward(p, v, pruned_config, pcfg)["logits"]
         pruned = amortized(pruned_fn, args.inner)
     else:
-        pruned_fn = lambda p, v: pruned_vit_forward(p, v, pruned_config, pcfg)["logits"]
+        rng = jax.random.PRNGKey(7) if args.mode == "random" else None
+        pruned_fn = lambda p, v: pruned_vit_forward(
+            p, v, pruned_config, pcfg, rng=rng)["logits"]
         pruned = amortized(pruned_fn, args.inner)
 
     measured_skip = None

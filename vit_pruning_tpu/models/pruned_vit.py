@@ -96,11 +96,13 @@ def _is_active(pcfg: PruneConfig, i: int) -> bool:
 
 
 def _bucket_caps(s: int) -> tuple:
-    """Static capacity ladder for bucketed mask-mode execution: multiples of
-    8 (sublane alignment) from ~3/8 of the sequence up to full length."""
-    caps = sorted({max(8, ((int(s * f) + 7) // 8) * 8) for f in
-                   (0.375, 0.5, 0.625, 0.75, 0.875)} | {s})
-    return tuple(c for c in caps if c <= s)
+    """Static capacity ladder for bucketed mask-mode execution: 24-step
+    multiples from ~3/8 of the sequence up to full length."""
+    lo = max(16, ((int(s * 0.375) + 15) // 16) * 16)
+    # 24-step ladder: each extra cap is another Pallas compile (~2-9 min on
+    # the remote-compile relay), so granularity trades compile time for the
+    # last few percent of FLOP tracking
+    return tuple(sorted(set(range(lo, s, 24)) | {s}))
 
 
 def bucketed_masked_layer(
@@ -116,31 +118,49 @@ def bucketed_masked_layer(
     set, reference himanshu/model_utils.py:88-91) but instead of running all
     S positions and discarding masked rows, tokens are compacted kept-first
     (stable order) and the layer runs at the smallest static bucket capacity
-    that holds the batch's max kept-count — `lax.switch` selects among a
-    ladder of pre-compiled capacities at runtime, keeping every shape static
-    for XLA while letting the executed FLOPs track the actual mask density.
+    holding the batch's max kept-count — `lax.switch` selects among a ladder
+    of pre-compiled capacities at runtime, keeping every shape static for XLA
+    while the executed FLOPs track the actual mask density.
+
+    TPU-specific design: XLA's dynamic gather/scatter ops cost ~2 ms/layer at
+    these shapes, so compaction runs as ONE-HOT BATCHED MATMULS on the MXU
+    (~0.25 ms): P[b, r, t] = 1 iff token t lands in compacted row r, built
+    from two cumsums (kept ranks first, skipped ranks appended — stable
+    order, no sort). Gather = P @ x; scatter-back = P^T @ y. The one-hot
+    weights are exact in bf16, so numerics match the gather formulation.
 
     Returns a full-length [B, S, D] tensor whose masked rows are garbage —
     the same contract as `vit_layer(x, token_mask=mask)`; callers overwrite
     masked rows with the passthrough value.
     """
     b, s, _ = x.shape
-    counts = mask.sum(-1).astype(jnp.int32)  # [B], CLS included
+    kept = mask.astype(jnp.int32)
+    counts = kept.sum(-1)  # [B], CLS included
     maxc = counts.max()
-    cidx_full = compact_indices(mask, s)  # [B, S] kept-first, stable
+    kept_rank = jnp.cumsum(kept, axis=-1) - 1
+    skip_rank = counts[:, None] + jnp.cumsum(1 - kept, axis=-1) - 1
+    dest = jnp.where(mask, kept_rank, skip_rank)  # [B, S] compacted row ids
     caps = _bucket_caps(s)
 
     def make_branch(cap):
+        if cap == s:
+            # full length: no compaction needed — run the masked layer as-is
+            def br(x):
+                return vit_layer(x, layer_params, config, token_mask=mask,
+                                 use_pallas=use_pallas)
+            return br
+
         def br(x):
-            cidx = cidx_full[:, :cap]
-            xc = gather_compact(x, cidx)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1)
+            P = (dest[:, None, :] == rows).astype(x.dtype)  # [B, cap, S]
+            xc = jnp.einsum("brt,btd->brd", P, x)
             key_ok = (
                 jax.lax.broadcasted_iota(jnp.int32, (b, cap), 1)
                 < counts[:, None]
             )
             yc = vit_layer(xc, layer_params, config, token_mask=key_ok,
                            use_pallas=use_pallas)
-            return scatter_back(x, cidx, yc)
+            return jnp.einsum("brt,brd->btd", P, yc)
         return br
 
     idx = jnp.searchsorted(jnp.asarray(caps, jnp.int32), maxc)
@@ -250,7 +270,13 @@ def pruned_layer_forward(
         )
         keep = random_keep_mask(jax.random.fold_in(rng, layer_idx), b, n, budget)
         mask = add_cls_keep(keep)
-        y = vit_layer(x, layer_params, config, token_mask=mask, use_pallas=use_pallas)
+        if not need_oracle:
+            # fixed per-image budget => the bucket ladder sits tight over
+            # budget+1: mask-mode execution cost at the exact skip rate
+            y = bucketed_masked_layer(x, layer_params, mask, config,
+                                      use_pallas=use_pallas)
+        else:
+            y = vit_layer(x, layer_params, config, token_mask=mask, use_pallas=use_pallas)
         out = jnp.where(mask[..., None], y, x)
     else:
         raise ValueError(f"unknown prune mode {pcfg.mode!r}")
