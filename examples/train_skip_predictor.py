@@ -8,6 +8,11 @@ an HF checkpoint for the full reproduction:
     python examples/train_skip_predictor.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 from vit_pruning_tpu.configs import PruneConfig, vit_tiny

@@ -42,8 +42,11 @@ from vit_pruning_tpu.data.datasets import (
     load_cifar100,
     synthetic_localized_dataset,
 )
-from vit_pruning_tpu.models.pruned_vit import init_pruned_vit_params
-from vit_pruning_tpu.train.harness import evaluate, phased_train
+from vit_pruning_tpu.models.pruned_vit import (
+    init_pruned_vit_params,
+    pruned_vit_forward,
+)
+from vit_pruning_tpu.train.harness import evaluate
 
 
 def log(*a):
@@ -74,10 +77,38 @@ def build_task(args):
     return config, train_b, test_b
 
 
-def train_and_eval(config, pcfg, train_b, test_b, args, train_type,
-                   structured=False):
-    params = init_pruned_vit_params(jax.random.PRNGKey(42), config, pcfg)
+def calibrate_sim_threshold(params, batch, config, pcfg):
+    """Median oracle similarity over all layers/tokens of one probe batch —
+    puts the oracle keep-rate near 50%, making the predictor-vs-oracle
+    accuracy gate meaningful on a from-scratch backbone (the reference's
+    fixed 0.9 assumes a pretrained CIFAR-100 checkpoint whose similarity
+    distribution straddles it)."""
+    import numpy as np
+
+    out = pruned_vit_forward(
+        params, batch["pixel_values"], config, pcfg, compute_oracle=True,
+        rng=jax.random.PRNGKey(0),
+    )
+    return float(np.median(np.asarray(out["aux"]["similarity"])))
+
+
+def train_and_eval(config, pcfg, train_b, test_b, args, log,
+                   base_params=None, structured=False):
+    """From-scratch recipe: backbone first (classification), THEN the
+    predictor against the trained backbone's oracle (the reference trains
+    predictors against a pretrained backbone, hi_main.py:130-139 — phase
+    order matters when starting from random weights).
+
+    base_params: reuse an already-trained model (the composed preset prunes
+    the TRAINED headline model and fine-tunes, rather than training a
+    half-capacity model from scratch)."""
+    from vit_pruning_tpu.train.harness import train
+
     eval_cfg = config
+    if base_params is not None:
+        params = jax.tree.map(lambda a: a.copy(), base_params)
+    else:
+        params = init_pruned_vit_params(jax.random.PRNGKey(42), config, pcfg)
     if structured:
         from vit_pruning_tpu.ops.structured import prune_heads, prune_mlp_channels
 
@@ -86,12 +117,34 @@ def train_and_eval(config, pcfg, train_b, test_b, args, train_type,
         params["backbone"] = prune_mlp_channels(
             bb, [list(range(0, config.mlp_dim, 2))] * config.num_layers
         )
-    params = phased_train(
-        params, train_b, test_b, eval_cfg, pcfg,
-        train_type=train_type,
-        num_epochs=(args.epochs, args.epochs), lrs=(1e-3, 1e-3),
-        full_testing=pcfg.mode not in ("none",),
-    )
+
+    if base_params is None:
+        # phase 1: backbone (predictor frozen; pruning active => the
+        # backbone learns under the skip pattern it will serve with)
+        params = train(
+            params, train_b, test_b, eval_cfg, pcfg,
+            num_epochs=args.epochs, loss_type="classification", lr=3e-4,
+            full_testing=False, log=log,
+        )
+    else:
+        # structured fine-tune of the pruned trained model
+        params = train(
+            params, train_b, test_b, eval_cfg, pcfg,
+            num_epochs=max(2, args.epochs // 2), loss_type="classification",
+            lr=1e-4, full_testing=False, log=log,
+        )
+    if pcfg.predictor != "none":
+        # calibrate the oracle, then phase 2: predictor only
+        probe = next(iter(train_b))
+        st = calibrate_sim_threshold(params, probe, eval_cfg, pcfg)
+        pcfg = pcfg.replace(sim_threshold=st)
+        log(f"calibrated sim_threshold = {st:.4f}")
+        params = train(
+            params, train_b, test_b, eval_cfg, pcfg,
+            num_epochs=args.pred_epochs, loss_type="cosine", lr=args.pred_lr,
+            full_testing=False, log=log,
+        )
+
     # serving-semantics accuracy + measured skip (progressive path for
     # topk_prog — the configuration the throughput claims are made on)
     acc, _, a0 = evaluate(params, test_b, eval_cfg, pcfg, full_testing=False)
@@ -100,7 +153,7 @@ def train_and_eval(config, pcfg, train_b, test_b, args, train_type,
         skip = float(a0.measured_skip_per_layer.mean())
         # oracle-instrumented pass for predictor-vs-oracle accuracy
         _, mlp_acc, _ = evaluate(params, test_b, eval_cfg, pcfg, full_testing=True)
-    return acc, mlp_acc, skip
+    return acc, mlp_acc, skip, params
 
 
 def main():
@@ -111,7 +164,9 @@ def main():
     ap.add_argument("--max_drop", type=float, default=0.005)
     ap.add_argument("--min_predictor_acc", type=float, default=0.85)
     ap.add_argument("--skip_tol", type=float, default=0.08)
-    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--pred_epochs", type=int, default=20)
+    ap.add_argument("--pred_lr", type=float, default=3e-3)
     ap.add_argument("--train_size", type=int, default=4096)
     ap.add_argument("--test_size", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=128)
@@ -120,13 +175,20 @@ def main():
     ap.add_argument("--data_path", default=None, help="CIFAR-100 dir (else synthetic)")
     args = ap.parse_args()
 
+    # quality measures ACCURACY, not speed: pin the jnp/XLA compute path so
+    # the gate is independent of kernel dispatch (and of Pallas behavior at
+    # the tiny gate-model shapes)
+    from vit_pruning_tpu.ops.dispatch import set_kernel_mode
+
+    set_kernel_mode("xla")
+
     config, train_b, test_b = build_task(args)
     n = config.num_patches
 
     log("training dense baseline…")
-    dense_acc, _, _ = train_and_eval(
+    dense_acc, _, _, _ = train_and_eval(
         config, PruneConfig(mode="none", predictor="none"), train_b, test_b,
-        args, "vit",
+        args, log,
     )
     log(f"dense top-1: {dense_acc:.4f}")
 
@@ -161,12 +223,16 @@ def main():
                "dataset": "cifar100" if args.data_path else "synthetic_localized",
                "gate_max_drop": args.max_drop, "presets": {}}
     all_pass = True
+    headline_params = None
     for name, spec in presets.items():
         log(f"training {name} preset…")
-        acc, mlp_acc, skip = train_and_eval(
-            config, spec["pcfg"], train_b, test_b, args, "both",
+        acc, mlp_acc, skip, trained = train_and_eval(
+            config, spec["pcfg"], train_b, test_b, args, log,
+            base_params=headline_params if spec["structured"] else None,
             structured=spec["structured"],
         )
+        if name == "headline":
+            headline_params = trained
         drop = dense_acc - acc
         gates = {"delta": bool(drop <= args.max_drop)}
         if spec["check_predictor"]:
