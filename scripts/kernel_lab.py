@@ -137,11 +137,16 @@ def main():
 
     results = []
     matrix = [
-        # staged (de-interleaved) attention vs unrolled; dispatch overhead
-        # (~2.5 ms/layer at INNER=12, measured via the 'copy' control) is
-        # common to all rows — compare DELTAS.
+        # staged (de-interleaved) attention vs staged2 (bf16 unnormalized
+        # probs + denominator fused into the PV dot + tanh GELU on bf16);
+        # dispatch overhead (~2.5 ms/layer at INNER=12, measured via the
+        # 'copy' control) is common to all rows — compare DELTAS.
         (99, "staged", 8, "none"),
         (197, "staged", 8, "none"),
+        (99, "staged2", 8, "none"),
+        (197, "staged2", 8, "none"),
+        (99, "staged2", 16, "none"),
+        (197, "staged2", 16, "none"),
         (99, "copy", 0, "none"),           # dispatch-floor control, cached
     ]
     for s, impl, bb, ab in matrix:

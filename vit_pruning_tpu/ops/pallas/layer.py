@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vit_pruning_tpu.ops.pallas.mlp import _gelu
+from vit_pruning_tpu.ops.pallas.mlp import _gelu, _gelu_tanh
 
 NEG_INF = -1e30
 
@@ -49,9 +49,10 @@ def _kernel(
     ln2g_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref,
     ctx_ref,  # scratch [BT*S, KW] (KW = num_heads * head_dim, == D unless heads are pruned)
-    logits_ref,  # scratch [BT*H*S, S] f32 (attn_impl='staged' only; else (8, 128) dummy)
+    logits_ref,  # scratch [BT*H*S, S] f32 (attn_impl='staged*' only; else (8, 128) dummy)
+    p_ref,  # scratch [BT*H*S, S] in x dtype ('staged2' only; else (8, 128) dummy)
     *, bt: int, s: int, s_real: int, h: int, hd: int, d: int, eps: float, scale: float,
-    attn_impl: str = "staged", ablate: str = "none",
+    attn_impl: str = "staged2", ablate: str = "none",
 ):
     # `ablate` is measurement-only instrumentation (scripts/kernel_lab.py):
     # it skips a section to attribute kernel time (never used by model code).
@@ -70,6 +71,45 @@ def _kernel(
 
     if ablate in ("attn", "attn_mlp"):
         ctx_ref[:] = qkv[:, :kw]
+    elif attn_impl == "staged2":
+        # 'staged' plus two VPU cuts: (1) probabilities are stored
+        # UNNORMALIZED in the input dtype (half the scratch traffic of the
+        # f32 store), (2) the per-row softmax denominator rides the PV matmul
+        # as an appended ones column, so normalization becomes one reciprocal
+        # multiply on the [S, hd] context instead of a divide over [S, S].
+        for b in range(bt):
+            if mask_ref is not None:
+                key_ok = mask_ref[b, :, :] != 0  # [1, S]
+            else:
+                key_ok = None
+            for head in range(h):
+                q = qkv[b * s:(b + 1) * s, head * hd:(head + 1) * hd]
+                k = qkv[b * s:(b + 1) * s, kw + head * hd:kw + (head + 1) * hd]
+                logits = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                if key_ok is not None:
+                    logits = jnp.where(key_ok, logits, NEG_INF)
+                logits_ref[pl.ds((b * h + head) * s, s), :] = logits
+        logits = logits_ref[:]
+        if mask_ref is None:
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+            logits = jnp.where(col < s_real, logits, NEG_INF)
+        p_ref[:] = jnp.exp(
+            logits - jnp.max(logits, axis=-1, keepdims=True)
+        ).astype(p_ref.dtype)
+        ones_col = jnp.ones((s, 1), dtype=qkv.dtype)
+        for b in range(bt):
+            rows = pl.ds(b * s, s)
+            for head in range(h):
+                v = qkv[b * s:(b + 1) * s, 2 * kw + head * hd:2 * kw + (head + 1) * hd]
+                vv = jnp.concatenate([v, ones_col], axis=1)  # [S, hd+1]
+                p_bh = p_ref[pl.ds((b * h + head) * s, s), :].astype(qkv.dtype)
+                out = jnp.dot(p_bh, vv, preferred_element_type=jnp.float32)
+                ctx_ref[rows, pl.ds(head * hd, hd)] = (
+                    out[:, :hd] * (1.0 / out[:, hd:hd + 1])
+                ).astype(ctx_ref.dtype)
     elif attn_impl == "staged":
         # three homogeneous stages instead of BT*H interleaved MXU/VPU
         # blocks: (1) all QK^T dots into one logits scratch, (2) ONE
@@ -189,7 +229,10 @@ def _kernel(
     m1 = jnp.dot(
         h2.astype(w1_ref.dtype), w1_ref[:], preferred_element_type=jnp.float32
     ) + b1_ref[:].astype(jnp.float32)
-    m1 = _gelu(m1).astype(w2_ref.dtype)
+    # tanh-approx GELU when the activation is about to be rounded to bf16
+    # anyway (approximation error < bf16 rounding); erf-exact for fp32
+    gelu = _gelu_tanh if o_ref.dtype == jnp.bfloat16 else _gelu
+    m1 = gelu(m1).astype(w2_ref.dtype)
     m2 = jnp.dot(m1, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:].astype(jnp.float32)
 
     o_ref[:] = (x1 + m2).astype(o_ref.dtype).reshape(bt, s, d)
@@ -197,7 +240,7 @@ def _kernel(
 
 @functools.lru_cache(maxsize=None)
 def differentiable_fused_layer(num_heads: int, eps: float, interpret: bool = False,
-                               attn_impl: str = "staged"):
+                               attn_impl: str = "staged2"):
     """fused_vit_layer with a custom VJP: forward runs the Pallas megakernel,
     backward recomputes through the jnp reference layer and differentiates
     that (rematerialization — the standard trade for fused forwards). Token
@@ -247,7 +290,7 @@ def fused_vit_layer(
     token_mask: Optional[jnp.ndarray] = None,
     block_b: int = 0,
     interpret: bool = False,
-    attn_impl: str = "staged",
+    attn_impl: str = "staged2",
     ablate: str = "none",
 ) -> jnp.ndarray:
     """One pre-LN ViT block, fully fused. Same semantics as models.vit.vit_layer.
@@ -323,8 +366,13 @@ def fused_vit_layer(
         scratch_shapes=[
             pltpu.VMEM((bt * s_pad, kv_width), x.dtype),
             pltpu.VMEM(
-                (bt * num_heads * s_pad, s_pad) if attn_impl == "staged" else (8, 128),
+                (bt * num_heads * s_pad, s_pad)
+                if attn_impl in ("staged", "staged2") else (8, 128),
                 jnp.float32,
+            ),
+            pltpu.VMEM(
+                (bt * num_heads * s_pad, s_pad) if attn_impl == "staged2" else (8, 128),
+                x.dtype,
             ),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -37,6 +37,15 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+def _gelu_tanh(x):
+    """GPT-2 tanh-approximate GELU. |gelu_tanh - gelu_erf| <= ~1e-3 absolute,
+    below bf16 resolution at the same magnitude (bf16 eps at |x|=2 is 1.6e-2)
+    — used by the megakernel only when the activation is cast straight to
+    bf16; the fp32 path keeps erf-exact GELU for bit-level parity."""
+    c = 0.7978845608028654  # sqrt(2/pi)
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
+
+
 def _gelu(x):
     # erf-exact GELU (jax.nn.gelu lowers to erfc, unimplemented in Pallas TPU)
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
