@@ -255,3 +255,32 @@ def test_mask_mode_serving_equals_oracle_instrumented_outputs():
     np.testing.assert_allclose(
         np.asarray(serve["logits"]), np.asarray(instr["logits"]), atol=1e-4, rtol=1e-4
     )
+
+
+def test_per_layer_sim_threshold_tuple():
+    """pcfg.sim_threshold as a per-layer tuple drives each layer's oracle
+    independently: an impossible threshold keeps nothing, an infinite one
+    keeps everything (similarity is finite and nonnegative)."""
+    pcfg = PruneConfig(mode="mask", predictor="cls_mlp", loss="bce_oracle",
+                       sim_threshold=tuple(
+                           [-1.0] + [1e9] * (CFG.num_layers - 1)))
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, CFG.image_size, CFG.image_size))
+    out = pruned_vit_forward(params, x, CFG, pcfg, compute_oracle=True,
+                             rng=jax.random.PRNGKey(2))
+    keep = np.asarray(out["aux"]["oracle_keep"])  # [L, B, N]
+    assert not keep[0].any()   # sim < -1 never holds
+    assert keep[1:].all()      # sim < 1e9 always holds
+
+
+def test_channel_importance_ranks_zeroed_channels_last():
+    from vit_pruning_tpu.ops.structured import channel_importance
+
+    params = init_vit_params(jax.random.PRNGKey(0), CFG)
+    dead = 3
+    fc1 = params["layers"]["mlp"]["fc1"]
+    fc1["w"] = fc1["w"].at[:, :, dead].set(0.0)
+    imp = channel_importance(params)  # [L, M]
+    assert imp.shape == (CFG.num_layers, CFG.mlp_dim)
+    assert (imp[:, dead] == 0.0).all()
+    assert (imp[:, dead] <= imp.min(axis=1)).all()

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 
 @dataclasses.dataclass(frozen=True)
@@ -156,8 +156,13 @@ class PruneConfig:
     predictor: str = "cls_mlp"
     loss: str = "bce_oracle"
     # similarity oracle threshold: tokens with similarity >= sim_threshold
-    # "would not change much" and should be skipped
-    sim_threshold: float = 0.9
+    # "would not change much" and should be skipped. Either one float (the
+    # reference's single st, hi_main.py:96) or a per-layer tuple — layer
+    # similarity distributions differ wildly (early layers change every
+    # token, late layers almost none), so per-layer calibration keeps the
+    # oracle keep-rate comparable across layers (quality.py calibrates to
+    # per-layer medians).
+    sim_threshold: Union[float, Tuple[float, ...]] = 0.9
     # predictor score threshold for the boolean keep-mask
     mlp_threshold: float = 0.5
     # neighbor-averaging mixing weight for previously-skipped tokens

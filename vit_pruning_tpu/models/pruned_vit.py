@@ -167,6 +167,13 @@ def bucketed_masked_layer(
     return jax.lax.switch(idx, [make_branch(c) for c in caps], x)
 
 
+def _sim_threshold(pcfg: PruneConfig, layer_idx: int) -> float:
+    """Per-layer oracle threshold: pcfg.sim_threshold is one float (the
+    reference's global st) or a per-layer tuple (see configs.py)."""
+    st = pcfg.sim_threshold
+    return st[layer_idx] if isinstance(st, tuple) else st
+
+
 def pruned_layer_forward(
     layer_params: dict,
     pred_params: Optional[dict],
@@ -259,7 +266,8 @@ def pruned_layer_forward(
         out = scatter_back(_passthrough(x, extras, mask), cidx, yc)
     elif pcfg.mode == "oracle":
         sim_o = similarity_oracle(x[:, 1:], dense_out[:, 1:], pcfg.oracle_alpha)
-        keep = sim_o < pcfg.sim_threshold  # token changes a lot => process
+        # token changes a lot => process
+        keep = sim_o < _sim_threshold(pcfg, layer_idx)
         mask = add_cls_keep(keep)
         out = jnp.where(mask[..., None], dense_out, x)
     elif pcfg.mode == "random":
@@ -302,7 +310,7 @@ def pruned_layer_forward(
             oracle_in = jax.lax.stop_gradient(x[:, 1:])
             dense_p = jax.lax.stop_gradient(dense_out[:, 1:])
         sim = similarity_oracle(oracle_in, dense_p, pcfg.oracle_alpha)
-        oracle_keep = sim < pcfg.sim_threshold
+        oracle_keep = sim < _sim_threshold(pcfg, layer_idx)
         if pcfg.loss == "bce_oracle":
             pred_loss = weighted_bce_oracle(scores, oracle_keep)
         elif pcfg.loss == "mse_cosine":

@@ -125,6 +125,18 @@ def prune_mlp_channels(
     return new_params
 
 
+def channel_importance(params: dict) -> np.ndarray:
+    """Weight-magnitude importance per MLP hidden unit, per layer [L, M]:
+    ||fc1[:, j]|| * ||fc2[j, :]|| — the unit's input gain times its output
+    gain (standard magnitude criterion for structured channel pruning).
+    Data-free, so it applies to any checkpoint."""
+    fc1 = params["layers"]["mlp"]["fc1"]["w"]  # [L, D, M]
+    fc2 = params["layers"]["mlp"]["fc2"]["w"]  # [L, M, D]
+    return np.asarray(
+        jnp.linalg.norm(fc1, axis=1) * jnp.linalg.norm(fc2, axis=2)
+    )
+
+
 def head_importance(params: dict, pixel_values: jnp.ndarray, config: ViTConfig) -> np.ndarray:
     """Mean CLS-row attention mass per head, per layer [L, H] — the natural
     importance score for head-mask search (the M7 target generalized to
