@@ -266,3 +266,55 @@ def test_mlp_tracker_matches_reference_aggregation():
     np.testing.assert_allclose(t.class_accuracy[0], [3 / 4, 4 / 6])
     np.testing.assert_allclose(t.class_accuracy[1], [1.0, 1.0])
     assert "mlp_0" in t.report() and "keep_acc" in t.report()
+
+
+def test_distillation_kl_zero_at_teacher_and_positive_otherwise():
+    from vit_pruning_tpu.train.losses import distillation_kl
+
+    logits = jnp.asarray(np.random.RandomState(0).randn(8, 10).astype(np.float32))
+    assert float(distillation_kl(logits, logits)) == pytest.approx(0.0, abs=1e-6)
+    other = logits + jnp.asarray(np.random.RandomState(1).randn(8, 10).astype(np.float32))
+    assert float(distillation_kl(other, logits)) > 0.0
+
+
+def test_distilled_train_step_pulls_student_toward_teacher():
+    """With distill weight 1.0 the classification term is pure KD: the loss
+    must equal the KL to the dense teacher's logits and decrease over steps."""
+    from vit_pruning_tpu.train.freeze import masked_adam, policy_for_loss_type
+
+    teacher = init_pruned_vit_params(jax.random.PRNGKey(7), CFG, PCFG)
+    params = init_pruned_vit_params(jax.random.PRNGKey(8), CFG, PCFG)
+    opt = masked_adam(params, policy_for_loss_type("classification"), 1e-3)
+    step = make_train_step(
+        CFG, PCFG, "classification", opt,
+        distill=(teacher, CFG, 1.0, 2.0),
+    )
+    opt_state = opt.init(params)
+    batch = next(iter(_data()))
+    losses = []
+    for i in range(8):
+        params, opt_state, m = step(params, opt_state, batch, jax.random.PRNGKey(i))
+        losses.append(float(m["cls_loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_per_layer_mlp_threshold_controls_each_layer():
+    pcfg = PruneConfig(mode="mask", predictor="cls_mlp", loss="bce_oracle",
+                       mlp_threshold=(2.0, -1.0))
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    from vit_pruning_tpu.models.pruned_vit import pruned_vit_forward
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 16, 16))
+    out = pruned_vit_forward(params, x, CFG, pcfg)
+    keep = np.asarray(out["keep_masks"])  # [L, B, S]
+    assert not keep[0, :, 1:].any()  # sigmoid scores < 2 always
+    assert keep[1].all()             # scores > -1 always
+
+
+def test_prune_config_json_roundtrip_per_layer_thresholds():
+    pcfg = PruneConfig(mode="mask", predictor="cls_mlp", loss="bce_oracle",
+                       sim_threshold=(0.1, 0.9), mlp_threshold=(0.4, 0.6))
+    restored = PruneConfig.from_json(pcfg.to_json())
+    assert restored == pcfg
+    assert isinstance(restored.sim_threshold, tuple)
+    assert isinstance(restored.mlp_threshold, tuple)

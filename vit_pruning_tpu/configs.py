@@ -163,8 +163,11 @@ class PruneConfig:
     # oracle keep-rate comparable across layers (quality.py calibrates to
     # per-layer medians).
     sim_threshold: Union[float, Tuple[float, ...]] = 0.9
-    # predictor score threshold for the boolean keep-mask
-    mlp_threshold: float = 0.5
+    # predictor score threshold for the boolean keep-mask; one float or a
+    # per-layer tuple (quality.py calibrates per-layer thresholds so the
+    # predicted keep-rate matches each layer's oracle keep-rate — BCE scores
+    # are not calibrated probabilities, see losses.py double-sigmoid note)
+    mlp_threshold: Union[float, Tuple[float, ...]] = 0.5
     # neighbor-averaging mixing weight for previously-skipped tokens
     # (0 disables; himanshu/model_utils.py:47-51)
     avg_threshold: float = 0.0
@@ -259,8 +262,9 @@ class PruneConfig:
     @staticmethod
     def from_json(s: str) -> "PruneConfig":
         d = json.loads(s)
-        for k in ("active_layers", "random_keep", "keep_schedule"):
-            if d.get(k) is not None:
+        for k in ("active_layers", "random_keep", "keep_schedule",
+                  "sim_threshold", "mlp_threshold"):
+            if isinstance(d.get(k), list):
                 d[k] = tuple(d[k])
         return PruneConfig(**d)
 

@@ -174,6 +174,12 @@ def _sim_threshold(pcfg: PruneConfig, layer_idx: int) -> float:
     return st[layer_idx] if isinstance(st, tuple) else st
 
 
+def _mlp_threshold(pcfg: PruneConfig, layer_idx: int) -> float:
+    """Per-layer predictor threshold (float or per-layer tuple)."""
+    mt = pcfg.mlp_threshold
+    return mt[layer_idx] if isinstance(mt, tuple) else mt
+
+
 def pruned_layer_forward(
     layer_params: dict,
     pred_params: Optional[dict],
@@ -235,7 +241,7 @@ def pruned_layer_forward(
             dense_out = vit_layer(x, layer_params, config, use_pallas=use_pallas)
 
     if pcfg.mode == "mask":
-        keep = threshold_keep_mask(scores, pcfg.mlp_threshold)
+        keep = threshold_keep_mask(scores, _mlp_threshold(pcfg, layer_idx))
         mask = add_cls_keep(keep)
         if pcfg.measure_only:
             # M13 (pradeep/mid2.py:64-70): stats only, dense execution

@@ -26,7 +26,7 @@ import optax
 from vit_pruning_tpu.configs import PruneConfig, ViTConfig
 from vit_pruning_tpu.models.pruned_vit import pruned_vit_forward
 from vit_pruning_tpu.train.freeze import masked_adam, policy_for_loss_type
-from vit_pruning_tpu.train.losses import cross_entropy
+from vit_pruning_tpu.train.losses import cross_entropy, distillation_kl
 from vit_pruning_tpu.train.metrics import EvalAccumulator, MLPTracker
 from vit_pruning_tpu.checkpoint import BestCheckpoint
 
@@ -41,13 +41,31 @@ def total_loss_fn(
     loss_type: str,
     rng: Optional[jax.Array],
     remat: bool = False,
+    distill=None,
 ):
-    """Loss mixing of main_model_utils.py:141-165."""
+    """Loss mixing of main_model_utils.py:141-165.
+
+    distill: optional (teacher_params, teacher_config, weight, temperature)
+    — replaces the classification term with
+    (1-w)*CE + w*KD(teacher logits); the teacher runs dense (mode='none')
+    under stop_gradient.
+    """
     out = pruned_vit_forward(
         params, batch["pixel_values"], config, pcfg, train=True, rng=rng,
         remat=remat,
     )
     cls_loss = cross_entropy(out["logits"], batch["labels"])
+    if distill is not None and loss_type in ("classification", "both"):
+        t_params, t_config, w, temp = distill
+        t_logits = jax.lax.stop_gradient(
+            pruned_vit_forward(
+                t_params, batch["pixel_values"], t_config,
+                PruneConfig(mode="none", predictor="none"),
+            )["logits"]
+        )
+        cls_loss = (1.0 - w) * cls_loss + w * distillation_kl(
+            out["logits"], t_logits, temp
+        )
     pred_loss = out["aux"]["pred_loss"].sum()  # Σ layer.loss (:145-148)
     if loss_type == "classification":
         total = cls_loss
@@ -76,6 +94,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     compute_dtype=None,
     remat: bool = False,
+    distill=None,
 ) -> Callable:
     """One jitted optimization step: (params, opt_state, batch, rng) ->
     (params, opt_state, metrics).
@@ -97,7 +116,7 @@ def make_train_step(
             else:
                 batch_c = batch
             return total_loss_fn(p, batch_c, config, pcfg, loss_type, rng,
-                                 remat=remat)
+                                 remat=remat, distill=distill)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -180,8 +199,12 @@ def train(
     viz_dir: Optional[str] = None,
     compute_dtype=None,
     remat: bool = False,
+    distill=None,
 ) -> dict:
     """One training phase (main_model_utils.py:100-191). Returns params.
+
+    distill: optional (teacher_params, teacher_config, weight, temperature)
+    forwarded to the train step (see total_loss_fn).
 
     loss_type 'alternate' switches mlp/vit phases on epoch % 3
     (main_model_utils.py:125-129).
@@ -203,7 +226,8 @@ def train(
     def build(loss_t, policy=None):
         opt = masked_adam(params, policy or policy_for_loss_type(loss_t), lr)
         return opt, make_train_step(config, pcfg, loss_t, opt,
-                                    compute_dtype=compute_dtype, remat=remat)
+                                    compute_dtype=compute_dtype, remat=remat,
+                                    distill=distill)
 
     start_epoch = 0
     state_path = (

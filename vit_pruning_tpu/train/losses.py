@@ -85,3 +85,20 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Mean softmax cross-entropy with integer labels."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+def distillation_kl(
+    student_logits: jnp.ndarray,
+    teacher_logits: jnp.ndarray,
+    temperature: float = 2.0,
+) -> jnp.ndarray:
+    """Hinton KD: T^2 * KL(softmax(t/T) || softmax(s/T)).
+
+    Not in the reference (its recovery phase is plain CE fine-tuning,
+    hi_main.py:167-168); used by the harness's optional teacher to recover
+    accuracy after structured pruning — the M19 parallel unpruned stream
+    (mukunda/deit.py:241-305) already establishes the dense-teacher idea.
+    """
+    t = jax.nn.log_softmax(teacher_logits / temperature, axis=-1)
+    s = jax.nn.log_softmax(student_logits / temperature, axis=-1)
+    return temperature**2 * jnp.mean(jnp.sum(jnp.exp(t) * (t - s), axis=-1))
