@@ -85,6 +85,12 @@ def main():
                          "channels) with the aggressive token schedule — the "
                          "3x+ configuration (accuracy trade unvalidated "
                          "without real data)")
+    ap.add_argument("--quant", default="none", choices=["none", "int8"],
+                    help="serving quantization for the PRUNED side (int8 "
+                         "dynamic-activation weight matmuls, ops/quant.py; "
+                         "the dense baseline stays in --dtype). An int8 "
+                         "dense row is logged to stderr for the same-dtype "
+                         "comparison")
     ap.add_argument("--serving", action="store_true",
                     help="measure the full uint8 serving path (fused embed "
                          "kernel + progressive compaction) as the pruned side")
@@ -209,6 +215,15 @@ def main():
     params = jax.tree.map(lambda a: a.astype(dtype), params)
     x = jax.random.normal(jax.random.PRNGKey(1), (args.batch, 3, 224, 224), dtype)
 
+    from vit_pruning_tpu.ops.dispatch import quant_mode
+
+    def quantized(f):
+        # applies at trace time (vit_layer reads the dispatch global)
+        def g(p, v):
+            with quant_mode(args.quant):
+                return f(p, v)
+        return g
+
     dense = amortized(lambda p, v: vit_forward(dense_params, v, config)["logits"], args.inner)
     if args.serving:
         from vit_pruning_tpu.serving import serving_forward
@@ -225,12 +240,12 @@ def main():
             return jax.lax.fori_loop(0, args.inner, body, jnp.zeros((), jnp.float32))
     elif args.mode == "topk_prog":
         pruned_fn = lambda p, v: progressive_topk_forward(p, v, pruned_config, pcfg)["logits"]
-        pruned = amortized(pruned_fn, args.inner)
+        pruned = amortized(quantized(pruned_fn), args.inner)
     else:
         rng = jax.random.PRNGKey(7) if args.mode == "random" else None
         pruned_fn = lambda p, v: pruned_vit_forward(
             p, v, pruned_config, pcfg, rng=rng)["logits"]
-        pruned = amortized(pruned_fn, args.inner)
+        pruned = amortized(quantized(pruned_fn), args.inner)
 
     measured_skip = None
     if args.mode == "mask":
@@ -260,6 +275,18 @@ def main():
         "unit": "img/s/chip",
         "vs_baseline": round(pruned_ips / dense_ips, 3),
     }
+    if args.quant != "none":
+        # same-quantization dense control, so both comparisons are on record
+        dense_q = amortized(
+            quantized(lambda p, v: vit_forward(dense_params, v, config)["logits"]),
+            args.inner,
+        )
+        t_dq = timeit(dense_q, (params, x), args.iters) / args.inner
+        log(f"dense {args.quant}: {args.batch / t_dq:.1f} img/s/chip "
+            f"({t_dq * 1e3:.2f} ms/batch); pruned-vs-dense-{args.quant} "
+            f"{t_dq / t_pruned:.2f}x")
+        result["quant"] = args.quant
+        result["dense_same_quant_img_per_sec"] = round(args.batch / t_dq, 1)
     if measured_skip is not None:
         result["measured_skip"] = round(measured_skip, 4)
     print(json.dumps(result))

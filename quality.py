@@ -215,6 +215,12 @@ def train_and_eval(config, pcfg, train_b, test_b, args, log,
     # serving-semantics accuracy + measured skip (progressive path for
     # topk_prog — the configuration the throughput claims are made on)
     acc, _, a0 = evaluate(params, test_b, eval_cfg, pcfg, full_testing=False)
+    # int8 serving accuracy (ops/quant.py jnp reference — same numerics as
+    # the Pallas int8 megakernel, parity-tested in tests/test_pallas.py)
+    from vit_pruning_tpu.ops.dispatch import quant_mode
+
+    with quant_mode("int8"):
+        acc_i8, _, _ = evaluate(params, test_b, eval_cfg, pcfg, full_testing=False)
     mlp_acc, skip = None, None
     if pcfg.mode != "none":
         skip = float(a0.measured_skip_per_layer.mean())
@@ -235,7 +241,7 @@ def train_and_eval(config, pcfg, train_b, test_b, args, log,
             pcfg.replace(mode="mask", mlp_threshold=mt),
             full_testing=True,
         )
-    return acc, mlp_acc, skip, params
+    return acc, acc_i8, mlp_acc, skip, params
 
 
 def main():
@@ -283,7 +289,7 @@ def main():
     n = config.num_patches
 
     log("training dense baseline…")
-    dense_acc, _, _, dense_params = train_and_eval(
+    dense_acc, dense_acc_i8, _, _, dense_params = train_and_eval(
         config, PruneConfig(mode="none", predictor="none"), train_b, test_b,
         args, log,
     )
@@ -317,13 +323,14 @@ def main():
         )
 
     results = {"dense_top1": round(dense_acc, 4),
+               "dense_top1_int8": round(dense_acc_i8, 4),
                "dataset": "cifar100" if args.data_path else "synthetic_localized",
                "gate_max_drop": args.max_drop, "presets": {}}
     all_pass = True
     headline_params = None
     for name, spec in presets.items():
         log(f"training {name} preset…")
-        acc, mlp_acc, skip, trained = train_and_eval(
+        acc, acc_i8, mlp_acc, skip, trained = train_and_eval(
             config, spec["pcfg"], train_b, test_b, args, log,
             base_params=(headline_params or dense_params) if spec["structured"]
             else dense_params,
@@ -335,6 +342,9 @@ def main():
         drop = dense_acc - acc
         budget = args.composed_max_drop if spec["structured"] else args.max_drop
         gates = {"delta": bool(drop <= budget)}
+        # the int8 serving variant must fit the same accuracy budget — the
+        # bench.py --quant int8 throughput rows ride on this gate
+        gates["delta_int8"] = bool((dense_acc - acc_i8) <= budget)
         if spec["check_predictor"]:
             gates["predictor"] = bool(mlp_acc >= args.min_predictor_acc)
         gates["skip"] = bool(abs(skip - spec["target_skip"]) <= args.skip_tol)
@@ -342,7 +352,9 @@ def main():
         all_pass &= ok
         results["presets"][name] = {
             "pruned_top1": round(acc, 4),
+            "pruned_top1_int8": round(acc_i8, 4),
             "delta": round(drop, 4),
+            "delta_int8": round(dense_acc - acc_i8, 4),
             "budget": budget,
             "predictor_accuracy": round(mlp_acc, 4) if mlp_acc is not None else None,
             "measured_skip": round(skip, 4),

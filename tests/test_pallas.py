@@ -183,3 +183,71 @@ def test_fused_encoder_matches_layer_loop(masked):
     if masked:
         err = err * np.asarray(mask)[..., None]
     assert err.max() < 1e-4
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_int8_fused_layer_matches_quant_reference(masked):
+    """int8 megakernel == ops/quant.py's jnp int8 serving layer."""
+    from vit_pruning_tpu.configs import ViTConfig
+    from vit_pruning_tpu.models.vit import init_vit_params
+    from vit_pruning_tpu.ops.pallas.layer_int8 import fused_vit_layer_int8
+    from vit_pruning_tpu.ops.quant import int8_vit_layer_ref, quantize_layer_params
+
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=64, num_layers=1,
+                    num_heads=2, mlp_dim=128, num_labels=10)
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    qp = quantize_layer_params(lp)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 17, 64))
+    mask = None
+    if masked:
+        mask = jax.random.uniform(jax.random.PRNGKey(2), (4, 17)) > 0.3
+        mask = mask.at[:, 0].set(True)
+
+    ref = int8_vit_layer_ref(x, qp, cfg, token_mask=mask)
+    got = fused_vit_layer_int8(
+        x, qp, cfg.num_heads, eps=cfg.layernorm_eps, token_mask=mask,
+        interpret=True,
+    )
+    if masked:
+        err = np.abs(np.asarray(got - ref)) * np.asarray(mask)[..., None]
+    else:
+        err = np.abs(np.asarray(got - ref))
+    assert err.max() < 1e-4
+
+
+def test_int8_reference_close_to_float_layer():
+    """Quantization error of the int8 serving layer vs the float layer is
+    small on unit-scale activations (sanity bound, not a strict gate)."""
+    from vit_pruning_tpu.configs import ViTConfig
+    from vit_pruning_tpu.models.vit import init_vit_params, vit_layer
+    from vit_pruning_tpu.ops.quant import int8_vit_layer_ref, quantize_layer_params
+
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=64, num_layers=1,
+                    num_heads=2, mlp_dim=128, num_labels=10)
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 17, 64))
+    ref = vit_layer(x, lp, cfg)
+    got = int8_vit_layer_ref(x, quantize_layer_params(lp), cfg)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
+
+
+def test_quant_mode_int8_forward_close_to_float():
+    """quant_mode('int8') swaps every layer to the int8 serving path (XLA
+    branch here); logits stay close to the float forward."""
+    from vit_pruning_tpu.configs import ViTConfig
+    from vit_pruning_tpu.models.vit import init_vit_params, vit_forward
+    from vit_pruning_tpu.ops.dispatch import quant_mode
+
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=64, num_layers=4,
+                    num_heads=2, mlp_dim=128, num_labels=10)
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32))
+    ref = vit_forward(params, x, cfg, use_pallas=False)["logits"]
+    with quant_mode("int8"):
+        got = vit_forward(params, x, cfg, use_pallas=False)["logits"]
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.05, rel
+    assert not np.allclose(np.asarray(got), np.asarray(ref))  # actually quantized

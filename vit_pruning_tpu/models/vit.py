@@ -76,9 +76,21 @@ def vit_layer(
     (himanshu/model_utils.py:91). Outputs at masked positions are computed
     but meaningless; callers overwrite them with the residual passthrough.
     """
-    from vit_pruning_tpu.ops.dispatch import attention_kernel_enabled
+    from vit_pruning_tpu.ops.dispatch import attention_kernel_enabled, serving_quant
 
+    quant = serving_quant() == "int8" and head_mask is None and not return_probs
     if use_pallas and head_mask is None and not return_probs:
+        if quant:
+            # int8 serving megakernel (ops/pallas/layer_int8.py). Weight
+            # quantization is jnp ops on loop-invariant params — XLA's LICM
+            # hoists it out of serving loops, so it costs once per dispatch.
+            from vit_pruning_tpu.ops.pallas.layer_int8 import fused_vit_layer_int8
+            from vit_pruning_tpu.ops.quant import quantize_layer_params
+
+            return fused_vit_layer_int8(
+                x, quantize_layer_params(params), config.num_heads,
+                eps=config.layernorm_eps, token_mask=token_mask,
+            )
         # whole-layer fused megakernel: minimal HBM traffic (the model is
         # bandwidth-bound on this chip — see ops/pallas/layer.py). The
         # differentiable wrapper makes it usable under grad (backward
@@ -87,6 +99,14 @@ def vit_layer(
 
         return differentiable_fused_layer(config.num_heads, config.layernorm_eps)(
             x, params, token_mask
+        )
+    if quant and not use_pallas:
+        # XLA path with quantization on: the jnp int8 serving reference —
+        # what quality.py uses to measure the int8 accuracy delta
+        from vit_pruning_tpu.ops.quant import int8_vit_layer_ref, quantize_layer_params
+
+        return int8_vit_layer_ref(
+            x, quantize_layer_params(params), config, token_mask=token_mask
         )
 
     h = layer_norm(x, params["ln1"], config.layernorm_eps)

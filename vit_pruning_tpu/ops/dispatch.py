@@ -85,3 +85,31 @@ def attention_kernel_enabled() -> bool:
     attention at ViT shapes (the win needs the whole-layer megakernel);
     'auto' keeps it off, 'pallas' forces it on."""
     return _MODE == "pallas"
+
+
+_QUANT = "none"
+
+
+def set_serving_quant(mode: str):
+    """Serving quantization: 'none' (bf16/f32) or 'int8' (dynamic-activation
+    int8 weight matmuls — ops/quant.py scheme). Applies to inference layer
+    calls (Pallas int8 megakernel on TPU, jnp int8 reference on XLA); the
+    training path ignores it (int8 matmuls define no VJP)."""
+    global _QUANT
+    if mode not in ("none", "int8"):
+        raise ValueError(f"serving quant {mode!r} not in ('none', 'int8')")
+    _QUANT = mode
+
+
+def serving_quant() -> str:
+    return _QUANT
+
+
+@contextlib.contextmanager
+def quant_mode(mode: str):
+    prev = _QUANT
+    set_serving_quant(mode)
+    try:
+        yield
+    finally:
+        set_serving_quant(prev)
