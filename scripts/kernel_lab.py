@@ -130,6 +130,33 @@ def time_encoder(x, params, cfg, block_b, iters=8):
     return per_layer_ms, compile_s
 
 
+def time_int8(x, lp, num_heads, eps, block_b, iters=8):
+    from vit_pruning_tpu.ops.pallas.layer_int8 import fused_vit_layer_int8
+    from vit_pruning_tpu.ops.quant import quantize_layer_params
+
+    qp = jax.jit(quantize_layer_params)(lp)
+
+    @jax.jit
+    def fn(x, qp):
+        def body(i, acc):
+            return fused_vit_layer_int8(
+                acc, qp, num_heads, eps=eps, block_b=block_b,
+            )
+
+        return jax.lax.fori_loop(0, INNER, body, x).sum()
+
+    t0 = time.perf_counter()
+    np.asarray(fn(x, qp))
+    compile_s = time.perf_counter() - t0
+    np.asarray(fn(x, qp))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(fn(x, qp))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) / INNER * 1e3, compile_s
+
+
 def main():
     cfg = deit_small(num_labels=100)
     params = init_vit_params(jax.random.PRNGKey(0), cfg)
@@ -137,16 +164,15 @@ def main():
 
     results = []
     matrix = [
-        # staged (de-interleaved) attention vs staged2 (bf16 unnormalized
-        # probs + denominator fused into the PV dot + tanh GELU on bf16);
+        # staged2 bf16 megakernel vs the int8 weight-matmul variant;
         # dispatch overhead (~2.5 ms/layer at INNER=12, measured via the
         # 'copy' control) is common to all rows — compare DELTAS.
-        (99, "staged", 8, "none"),
-        (197, "staged", 8, "none"),
         (99, "staged2", 8, "none"),
         (197, "staged2", 8, "none"),
-        (99, "staged2", 16, "none"),
-        (197, "staged2", 16, "none"),
+        (99, "int8", 8, "none"),
+        (197, "int8", 8, "none"),
+        (99, "int8", 16, "none"),
+        (197, "int8", 16, "none"),
         (99, "copy", 0, "none"),           # dispatch-floor control, cached
     ]
     for s, impl, bb, ab in matrix:
@@ -159,6 +185,8 @@ def main():
                 ms, comp = time_xla(x, params, cfg)
             elif impl == "copy":
                 ms, comp = time_copy(x)
+            elif impl == "int8":
+                ms, comp = time_int8(x, lp, cfg.num_heads, cfg.layernorm_eps, bb)
             else:
                 ms, comp = time_variant(x, lp, cfg.num_heads, cfg.layernorm_eps,
                                         impl, bb, ablate=ab)
