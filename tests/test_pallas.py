@@ -251,3 +251,34 @@ def test_quant_mode_int8_forward_close_to_float():
     rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
     assert rel < 0.05, rel
     assert not np.allclose(np.asarray(got), np.asarray(ref))  # actually quantized
+
+
+def test_quant_mode_int8_progressive_and_head_pruned():
+    """int8 serving composes with progressive compaction and with physically
+    head/channel-pruned backbones (the composed bench preset)."""
+    from vit_pruning_tpu.configs import PruneConfig, ViTConfig
+    from vit_pruning_tpu.models.pruned_vit import (
+        init_pruned_vit_params,
+        progressive_topk_forward,
+    )
+    from vit_pruning_tpu.ops.dispatch import quant_mode
+    from vit_pruning_tpu.ops.structured import prune_heads, prune_mlp_channels
+
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=64, num_layers=4,
+                    num_heads=4, mlp_dim=128, num_labels=10)
+    pcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                       loss="bce_oracle", top_k=8, keep_schedule=(8, 0, 4, 0))
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), cfg, pcfg)
+    bb, pruned_cfg = prune_heads(params["backbone"], cfg,
+                                 [[0, 2]] * cfg.num_layers)
+    bb = prune_mlp_channels(bb, [list(range(0, cfg.mlp_dim, 2))] * cfg.num_layers)
+    params = dict(params, backbone=bb)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32))
+
+    ref = progressive_topk_forward(params, x, pruned_cfg, pcfg,
+                                   use_pallas=False)["logits"]
+    with quant_mode("int8"):
+        got = progressive_topk_forward(params, x, pruned_cfg, pcfg,
+                                       use_pallas=False)["logits"]
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.05, rel
