@@ -289,6 +289,38 @@ def main():
         result["dense_same_quant_img_per_sec"] = round(args.batch / t_dq, 1)
     if measured_skip is not None:
         result["measured_skip"] = round(measured_skip, 4)
+
+    if not args.composed and args.mode == "topk_prog" and args.model == "deit_small":
+        # also record the >=3x configuration (composed structured + deep
+        # schedule — accuracy budget gated by quality.py) in the same line
+        from vit_pruning_tpu.ops.structured import prune_heads, prune_mlp_channels
+
+        csched = tuple([n * 2 // 3] + [n // 3] * 4 + [n // 6] * (config.num_layers - 5))
+        cpcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                            loss="mse_attention", top_k=csched[0],
+                            keep_schedule=csched)
+        cparams = init_pruned_vit_params(jax.random.PRNGKey(0), config, cpcfg)
+        bb, c_config = prune_heads(cparams["backbone"], config,
+                                   [list(range(0, config.num_heads, 2))] * config.num_layers)
+        cparams["backbone"] = prune_mlp_channels(
+            bb, [list(range(0, config.mlp_dim, 2))] * config.num_layers)
+        cparams = jax.tree.map(lambda a: a.astype(dtype), cparams)
+        comp = amortized(
+            lambda p, v: progressive_topk_forward(p, v, c_config, cpcfg)["logits"],
+            args.inner,
+        )
+        t_comp = timeit(comp, (cparams, x), args.iters) / args.inner
+        live = [n] * config.num_layers
+        cur = n
+        for i, sv in enumerate(csched):
+            if sv and sv < cur:
+                cur = sv
+            live[i] = cur
+        log(f"composed: {args.batch / t_comp:.1f} img/s/chip "
+            f"({t_comp * 1e3:.2f} ms/batch) = {t_dense / t_comp:.2f}x dense "
+            f"(3/6 heads, 1/2 mlp, {1.0 - sum(live) / len(live) / n:.0%} token skip)")
+        result["composed_img_per_sec"] = round(args.batch / t_comp, 1)
+        result["composed_vs_dense"] = round(t_dense / t_comp, 3)
     print(json.dumps(result))
 
 

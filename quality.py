@@ -181,36 +181,50 @@ def train_and_eval(config, pcfg, train_b, test_b, args, log,
         )
     if pcfg.predictor != "none":
         # phase 1: calibrate the oracle on the trained backbone, train the
-        # predictor only (reference 'cosine' phase, hi_main.py:164-165)
+        # predictor only (reference 'cosine' phase, hi_main.py:164-165).
+        # Keep the BEST-serving-accuracy epoch, not the last (the reference
+        # checkpoints best, main_model_utils.py:179-185): at deep composed
+        # schedules, late predictor epochs over-fit the oracle and serving
+        # accuracy sinks 78% -> 42% while oracle agreement keeps climbing.
+        from vit_pruning_tpu.checkpoint import BestCheckpoint
+
         probe = next(iter(train_b))
         st = calibrate_sim_threshold(params, probe, eval_cfg, pcfg)
         pcfg = pcfg.replace(sim_threshold=st)
         log("calibrated per-layer sim_threshold = "
             + ", ".join(f"{v:.3f}" for v in st))
+        best = BestCheckpoint()
         params = train(
             params, train_b, test_b, eval_cfg, pcfg,
             num_epochs=args.pred_epochs, loss_type="cosine", lr=args.pred_lr,
-            full_testing=False, log=log,
+            full_testing=False, log=log, best=best,
         )
+        if best.best_params is not None:
+            log(f"predictor phase: best epoch at {best.best_accuracy:.2%}")
+            params = best.best_params
     if base_params is not None:
         # phase 2: backbone fine-tune under the trained masks (reference
         # 'classification' phase at a lower lr, hi_main.py:167-168); also
         # the recovery phase after physical head/channel removal. The dense
-        # teacher distills its logits into the pruned student — structured
-        # pruning removes half the capacity, and plain CE recovery leaves
-        # >10% top-1 on the table (measured 73% vs 88% with KD).
+        # teacher distills its logits into the pruned student; best epoch
+        # kept, as in the reference.
+        from vit_pruning_tpu.checkpoint import BestCheckpoint
+
         distill = None
         if teacher is not None:
             t_params, t_config = teacher
-            distill = (t_params, t_config, 0.7, 2.0)
+            distill = (t_params, t_config, 0.5, 2.0)
+        best = BestCheckpoint()
         params = train(
             params, train_b, test_b, eval_cfg, pcfg,
             num_epochs=(args.recover_epochs if structured
                         else max(2, args.epochs // 2)),
             loss_type="classification",
-            lr=(3e-4 if structured else 1e-4),
-            full_testing=False, log=log, distill=distill,
+            lr=1e-4,
+            full_testing=False, log=log, distill=distill, best=best,
         )
+        if best.best_params is not None:
+            params = best.best_params
 
     # serving-semantics accuracy + measured skip (progressive path for
     # topk_prog — the configuration the throughput claims are made on)

@@ -42,11 +42,14 @@ def restore_checkpoint(path: str, like: Any) -> Any:
 
 
 class BestCheckpoint:
-    """Keep the best-accuracy params on disk (main_model_utils.py:181-185)."""
+    """Keep the best-accuracy params on disk (main_model_utils.py:181-185),
+    or in memory when constructed with save_dir=None (`.best_params`) — jax
+    arrays are immutable, so holding the reference is safe."""
 
-    def __init__(self, save_dir: str, run_name: str):
-        self.path = os.path.join(save_dir, run_name) if run_name else None
+    def __init__(self, save_dir: Optional[str] = None, run_name: str = ""):
+        self.path = os.path.join(save_dir, run_name) if save_dir and run_name else None
         self.best_accuracy = 0.0
+        self.best_params: Any = None
 
     def update(self, accuracy: float, params: Any) -> bool:
         if accuracy <= self.best_accuracy:
@@ -54,4 +57,6 @@ class BestCheckpoint:
         self.best_accuracy = accuracy
         if self.path:
             save_checkpoint(self.path, params)
+        else:
+            self.best_params = params
         return True
