@@ -318,3 +318,23 @@ def test_prune_config_json_roundtrip_per_layer_thresholds():
     assert restored == pcfg
     assert isinstance(restored.sim_threshold, tuple)
     assert isinstance(restored.mlp_threshold, tuple)
+
+
+def test_best_checkpoint_in_memory_survives_donated_steps():
+    """BestCheckpoint(save_dir=None) must deep-copy: make_train_step donates
+    its params buffers, so a stored reference would be deleted by the next
+    step (regression: RuntimeError 'Array has been deleted')."""
+    from vit_pruning_tpu.checkpoint import BestCheckpoint
+    from vit_pruning_tpu.train.freeze import masked_adam, policy_for_loss_type
+
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, PCFG)
+    opt = masked_adam(params, policy_for_loss_type("classification"), 1e-3)
+    step = make_train_step(CFG, PCFG, "classification", opt)
+    opt_state = opt.init(params)
+    batch = next(iter(_data()))
+    best = BestCheckpoint()
+    for i in range(3):
+        params, opt_state, _ = step(params, opt_state, batch, jax.random.PRNGKey(i))
+        best.update(1.0 - 0.1 * i, params)  # first epoch is "best"
+    # the stored best must still be readable after later donated steps
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(best.best_params))

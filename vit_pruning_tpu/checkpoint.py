@@ -58,5 +58,7 @@ class BestCheckpoint:
         if self.path:
             save_checkpoint(self.path, params)
         else:
-            self.best_params = params
+            # deep-copy: the train step donates its params buffers, so a
+            # bare reference would be deleted by the next optimization step
+            self.best_params = jax.tree.map(lambda a: a.copy(), params)
         return True
