@@ -204,8 +204,15 @@ def train_and_eval(config, pcfg, train_b, test_b, args, log,
             num_epochs=args.pred_epochs, loss_type="cosine", lr=args.pred_lr,
             full_testing=False, log=log, best=best,
         )
-        if best.best_params is not None:
-            log(f"predictor phase: best epoch at {best.best_accuracy:.2%}")
+        # Fall back to the best epoch only on SEVERE degradation: the
+        # fully-trained (last-epoch) predictor has the best oracle
+        # agreement, and mild serving-accuracy sag is recovered by the
+        # fine-tune phase; the composed schedules' 78%->42% collapse is not.
+        last_acc, _, _ = evaluate(params, test_b, eval_cfg, pcfg,
+                                  full_testing=False)
+        if best.best_params is not None and best.best_accuracy - last_acc > 0.03:
+            log(f"predictor phase degraded {best.best_accuracy:.2%} -> "
+                f"{last_acc:.2%}; reverting to the best epoch")
             params = best.best_params
     if base_params is not None:
         # phase 2: backbone fine-tune under the trained masks (reference
@@ -345,8 +352,14 @@ def main():
                 cur = s
             live.append(cur + 1)
         presets["composed"] = dict(
+            # loss matches the bench composed preset: CLS-attention
+            # regression (M7) ranks tokens by evidence mass, the right
+            # signal for deep top-k budgets — the similarity oracle ranks by
+            # "changes most", which at 1/6 keep drops informative tokens
+            # (measured: serving accuracy sinks as bce_oracle training
+            # sharpens at deep schedules)
             pcfg=PruneConfig(mode="topk_prog", predictor="cls_mlp",
-                             loss="bce_oracle", top_k=schedule[0],
+                             loss="mse_attention", top_k=schedule[0],
                              keep_schedule=schedule,
                              sim_threshold=args.sim_threshold),
             target_skip=1.0 - (sum(live) / len(live)) / (n + 1),
