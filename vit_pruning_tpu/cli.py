@@ -228,7 +228,7 @@ def cmd_train(args) -> int:
     dense = vit_flops(config)
     tokens = (1.0 - acc.measured_skip_per_layer) * config.seq_len
     pruned = pruned_vit_flops(config, pcfg, tokens_per_layer=tokens)
-    log(f"FLOPs/image: pruned {pruned / 1e9:.2f} GFLOPs vs dense {dense / 1e9:.2f} GFLOPs "
+    log(f"FLOPs/image: pruned {pruned / 1e9:.4g} GFLOPs vs dense {dense / 1e9:.4g} GFLOPs "
         f"({pruned / dense:.1%})")
     log.close()
     return 0
