@@ -169,10 +169,10 @@ def main():
         # 'copy' control) is common to all rows — compare DELTAS.
         (99, "staged2", 8, "none"),
         (197, "staged2", 8, "none"),
-        (99, "int8", 8, "none"),
-        (197, "int8", 8, "none"),
-        (99, "int8", 16, "none"),
-        (197, "int8", 16, "none"),
+        (99, "staged2", 8, "noexp"),       # softmax exp cost
+        (197, "staged2", 8, "noexp"),
+        (99, "staged2", 8, "nogelu"),      # GELU transcendental cost
+        (197, "staged2", 8, "nogelu"),
         (99, "copy", 0, "none"),           # dispatch-floor control, cached
     ]
     for s, impl, bb, ab in matrix:

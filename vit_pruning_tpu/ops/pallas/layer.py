@@ -96,9 +96,12 @@ def _kernel(
         if mask_ref is None:
             col = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
             logits = jnp.where(col < s_real, logits, NEG_INF)
-        p_ref[:] = jnp.exp(
-            logits - jnp.max(logits, axis=-1, keepdims=True)
-        ).astype(p_ref.dtype)
+        if ablate == "noexp":  # measurement: softmax exp cost in isolation
+            p_ref[:] = (logits * 1e-4).astype(p_ref.dtype)
+        else:
+            p_ref[:] = jnp.exp(
+                logits - jnp.max(logits, axis=-1, keepdims=True)
+            ).astype(p_ref.dtype)
         ones_col = jnp.ones((s, 1), dtype=qkv.dtype)
         for b in range(bt):
             rows = pl.ds(b * s, s)
@@ -232,7 +235,10 @@ def _kernel(
     # tanh-approx GELU when the activation is about to be rounded to bf16
     # anyway (approximation error < bf16 rounding); erf-exact for fp32
     gelu = _gelu_tanh if o_ref.dtype == jnp.bfloat16 else _gelu
-    m1 = gelu(m1).astype(w2_ref.dtype)
+    if ablate == "nogelu":  # measurement: GELU transcendental cost
+        m1 = (m1 * 0.5).astype(w2_ref.dtype)
+    else:
+        m1 = gelu(m1).astype(w2_ref.dtype)
     m2 = jnp.dot(m1, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:].astype(jnp.float32)
 
     o_ref[:] = (x1 + m2).astype(o_ref.dtype).reshape(bt, s, d)
