@@ -175,19 +175,16 @@ def main():
     n = config.num_patches
     k = max(1, int(round(n * (1.0 - args.skip))))
     if args.composed and not args.schedule:
+        from vit_pruning_tpu.configs import composed_schedule
+
         args.schedule = ",".join(
-            str(v) for v in
-            [n * 2 // 3] + [n // 3] * 4 + [n // 6] * (config.num_layers - 5)
-        )
+            str(v) for v in composed_schedule(n, config.num_layers))
     schedule = None
     if args.schedule:
+        from vit_pruning_tpu.configs import schedule_live
+
         schedule = tuple(int(v) for v in args.schedule.split(","))
-        live = [n] * config.num_layers
-        cur = n
-        for i, s in enumerate(schedule):
-            if s and s < cur:
-                cur = s
-            live[i] = cur
+        live = [v - 1 for v in schedule_live(schedule, n)]  # patches only
         args.skip = 1.0 - (sum(live) / len(live)) / n
         log(f"schedule {schedule}: mean live {sum(live)/len(live):.1f}/{n} "
             f"patches = {args.skip:.1%} average skip")
@@ -232,12 +229,14 @@ def main():
                                 jnp.int32).astype(jnp.uint8)
 
         @jax.jit
-        def pruned(p, _v):
+        def _serving_loop(p, _v):
             def body(i, acc):
                 xs = (u8 + i.astype(jnp.uint8)).astype(jnp.uint8)
                 return acc + serving_forward(p, xs, pruned_config, pcfg)["logits"].astype(jnp.float32).sum()
 
             return jax.lax.fori_loop(0, args.inner, body, jnp.zeros((), jnp.float32))
+
+        pruned = quantized(_serving_loop)  # trace-time: quant applies here too
     elif args.mode == "topk_prog":
         pruned_fn = lambda p, v: progressive_topk_forward(p, v, pruned_config, pcfg)["logits"]
         pruned = amortized(quantized(pruned_fn), args.inner)
@@ -252,9 +251,12 @@ def main():
         # mask mode ignores top_k: the mask comes from thresholding the
         # (untrained) predictor, so the nominal skip label does not describe
         # the measured computation — report the actual mask density
+        # probe at the SAME batch shape as the timed run: a smaller batch
+        # would force fresh Pallas compiles of every bucket branch (~minutes
+        # each on the relay) solely to read mask density
         probe = jax.jit(
             lambda p, v: pruned_vit_forward(p, v, pruned_config, pcfg)["keep_masks"]
-        )(params, x[:32])
+        )(params, x)
         measured_skip = float(1.0 - np.asarray(probe, np.float32).mean())
         log(f"WARNING: mode=mask skip label is nominal; measured mask density "
             f"=> actual skip {measured_skip:.1%} (threshold {pcfg.mlp_threshold} "
@@ -293,9 +295,10 @@ def main():
     if not args.composed and args.mode == "topk_prog" and args.model == "deit_small":
         # also record the >=3x configuration (composed structured + deep
         # schedule — accuracy budget gated by quality.py) in the same line
+        from vit_pruning_tpu.configs import composed_schedule, schedule_live
         from vit_pruning_tpu.ops.structured import prune_heads, prune_mlp_channels
 
-        csched = tuple([n * 2 // 3] + [n // 3] * 4 + [n // 6] * (config.num_layers - 5))
+        csched = composed_schedule(n, config.num_layers)
         cpcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
                             loss="mse_attention", top_k=csched[0],
                             keep_schedule=csched)
@@ -310,12 +313,7 @@ def main():
             args.inner,
         )
         t_comp = timeit(comp, (cparams, x), args.iters) / args.inner
-        live = [n] * config.num_layers
-        cur = n
-        for i, sv in enumerate(csched):
-            if sv and sv < cur:
-                cur = sv
-            live[i] = cur
+        live = [v - 1 for v in schedule_live(csched, n)]
         log(f"composed: {args.batch / t_comp:.1f} img/s/chip "
             f"({t_comp * 1e3:.2f} ms/batch) = {t_dense / t_comp:.2f}x dense "
             f"(3/6 heads, 1/2 mlp, {1.0 - sum(live) / len(live) / n:.0%} token skip)")

@@ -36,7 +36,9 @@ def main():
     config = vit_tiny(num_labels=100)
     n = config.num_patches  # 196
     # composed preset: structured halving + deep token schedule
-    schedule = tuple([n * 2 // 3] + [n // 3] * 4 + [n // 6] * (config.num_layers - 5))
+    from vit_pruning_tpu.configs import composed_schedule
+
+    schedule = composed_schedule(n, config.num_layers)
     pcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
                        loss="mse_attention", top_k=schedule[0],
                        keep_schedule=schedule)

@@ -343,14 +343,10 @@ def main():
             structured=False, check_predictor=True,
         )
     if args.preset in ("composed", "both"):
-        L = config.num_layers
-        schedule = tuple([n * 2 // 3] + [n // 3] * min(4, L - 1)
-                         + [n // 6] * max(0, L - 5))
-        live, cur = [], n
-        for s in schedule:
-            if s and s < cur:
-                cur = s
-            live.append(cur + 1)
+        from vit_pruning_tpu.configs import composed_schedule, schedule_live
+
+        schedule = composed_schedule(n, config.num_layers)
+        live = schedule_live(schedule, n)
         presets["composed"] = dict(
             # loss matches the bench composed preset: CLS-attention
             # regression (M7) ranks tokens by evidence mass, the right

@@ -298,3 +298,30 @@ def test_per_predictor_adam_per_layer_lr_scales():
     assert np.allclose(w0[0], w1[0])          # layer 0 frozen by scale 0
     assert not np.allclose(w0[1], w1[1])      # layer 1 updated
     assert np.allclose(w0[2], w1[2])          # layer 2 frozen
+
+
+def test_skip_next_consumed_by_inactive_layer():
+    """M8 regression: 'skip the next layer' means the physically next layer
+    even when it is NOT an active pruning layer (active_layers gap). The
+    flag must be consumed there, not leak past it to a later active layer."""
+    pcfg = PruneConfig(
+        mode="mask", predictor="cls_mlp", measure_only=True,
+        mlp_threshold=-1.0, skip_next_threshold=1e-6,
+        active_layers=(0, 2),
+    )
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    x = _x()
+    out = pruned_vit_forward(params, x, CFG, pcfg)
+
+    from vit_pruning_tpu.models.vit import embed, layer_norm, vit_layer
+
+    bb = params["backbone"]
+    h = embed(x, bb["embed"], CFG)
+    h = vit_layer(h, jax.tree.map(lambda a: a[0], bb["layers"]), CFG)
+    # layer 1 (inactive) must be skipped for every image; layer 2 runs
+    h = vit_layer(h, jax.tree.map(lambda a: a[2], bb["layers"]), CFG)
+    h = layer_norm(h, bb["ln_f"], CFG.layernorm_eps)
+    want = h[:, 0] @ bb["head"]["w"] + bb["head"]["b"]
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), np.asarray(want), rtol=2e-5, atol=2e-5
+    )

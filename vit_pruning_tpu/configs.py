@@ -270,3 +270,23 @@ class PruneConfig:
 
 
 DENSE = PruneConfig(mode="none", predictor="none", loss="bce_oracle")
+
+
+def composed_schedule(num_patches: int, num_layers: int) -> Tuple[int, ...]:
+    """The composed preset's keep schedule (single source of truth for
+    bench.py, quality.py and examples): keep 2/3 of patches at layer 0,
+    1/3 for the next up-to-4 layers, 1/6 thereafter."""
+    n, L = num_patches, num_layers
+    return tuple([n * 2 // 3] + [n // 3] * min(4, L - 1)
+                 + [n // 6] * max(0, L - 5))
+
+
+def schedule_live(schedule: Tuple[int, ...], num_patches: int) -> Tuple[int, ...]:
+    """Per-layer live token counts (CLS included) for a keep_schedule:
+    0 = no further drop; drops only ever shrink the sequence."""
+    live, cur = [], num_patches
+    for s in schedule:
+        if s and s < cur:
+            cur = s
+        live.append(cur + 1)
+    return tuple(live)

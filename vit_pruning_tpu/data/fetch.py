@@ -51,10 +51,14 @@ def fetch_imagenet_val(dest: str) -> str:
 
 
 def fetch_tiny_imagenet(dest: str) -> str:
-    """kagglehub tiny-imagenet pull (hi_main.py:84-86); returns the local
-    dataset path (kagglehub manages its own cache dir)."""
-    if os.path.exists(_done_marker(dest)):
-        return dest
+    """kagglehub tiny-imagenet pull (hi_main.py:84-86). kagglehub manages its
+    own cache dir, so the marker under dest records the RESOLVED path and the
+    function always returns the directory that actually holds the data."""
+    marker = _done_marker(dest)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            recorded = f.read().strip()
+        return recorded or dest
     try:
         import kagglehub
     except ImportError as e:
@@ -63,4 +67,7 @@ def fetch_tiny_imagenet(dest: str) -> str:
             f"the tiny-imagenet ImageFolder tree at {dest!r} manually"
         ) from e
     path = kagglehub.dataset_download(KAGGLEHUB_TINY_IMAGENET)
+    os.makedirs(dest, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(path)
     return path

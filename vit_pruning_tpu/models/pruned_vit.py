@@ -418,7 +418,14 @@ def pruned_vit_forward(
             teacher = (x_teacher, t_out)
             x_teacher = t_out
         if not _is_active(pcfg, i):
+            x_in = x
             x = vit_layer(x, lp, config, use_pallas=use_pallas)
+            if skip_vec is not None:
+                # M8: "skip the next layer" means the physically next layer,
+                # whether or not it is an active pruning layer — consume the
+                # flag here too (a skipped layer computes no decision)
+                x = jnp.where(skip_vec[:, None, None], x_in, x)
+                skip_vec = None
             mask = jnp.ones(x.shape[:2], dtype=bool)
             info = {"keep_mask": mask, "scores": jnp.ones((x.shape[0], x.shape[1] - 1), x.dtype)}
             if need_oracle:

@@ -154,19 +154,21 @@ def compact_indices(keep_mask: jnp.ndarray, k: int) -> jnp.ndarray:
     compacted sequence preserves token order (CLS stays first).
     """
     s = keep_mask.shape[-1]
-    pos = jax.lax.broadcasted_iota(jnp.int32, keep_mask.shape, len(keep_mask.shape) - 1)
+    lead = keep_mask.shape[:-1]
+    mask2 = keep_mask.reshape(-1, s)  # rank-generic: flatten leading axes
+    pos = jax.lax.broadcasted_iota(jnp.int32, mask2.shape, 1)
     # kept-first stable order WITHOUT a sort: each position's destination
     # rank is its running count within its class (kept ranks first, skipped
     # ranks appended after all kept) — two cumsums + one scatter, much
     # cheaper than argsort on TPU
-    kept = keep_mask.astype(jnp.int32)
+    kept = mask2.astype(jnp.int32)
     counts = kept.sum(axis=-1, keepdims=True)
     kept_rank = jnp.cumsum(kept, axis=-1) - 1
     skip_rank = counts + jnp.cumsum(1 - kept, axis=-1) - 1
-    dest = jnp.where(keep_mask, kept_rank, skip_rank)  # [B, S] permutation
-    order = jnp.zeros(keep_mask.shape, jnp.int32)
+    dest = jnp.where(mask2, kept_rank, skip_rank)  # [B, S] permutation
+    order = jnp.zeros(mask2.shape, jnp.int32)
     order = jax.vmap(lambda o, d, p: o.at[d].set(p))(order, dest, pos)
-    return order[..., :k].astype(jnp.int32)
+    return order[:, :k].astype(jnp.int32).reshape(*lead, k)
 
 
 def gather_compact(x: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:

@@ -71,6 +71,12 @@ def _kernel(
 
     if ablate in ("attn", "attn_mlp"):
         ctx_ref[:] = qkv[:, :kw]
+    elif ablate == "qkv":
+        # skip the QKV matmul AND attention: isolates the base
+        # (x io + LN + O-proj + MLP) when compared with 'attn' — must
+        # precede the attn_impl branches or it is unreachable under the
+        # default staged2 implementation
+        ctx_ref[:] = h1[:, :kw].astype(ctx_ref.dtype)
     elif attn_impl == "staged2":
         # 'staged' plus two VPU cuts: (1) probabilities are stored
         # UNNORMALIZED in the input dtype (half the scratch traffic of the
@@ -149,10 +155,6 @@ def _kernel(
                 ctx_ref[rows, pl.ds(head * hd, hd)] = jnp.dot(
                     p_bh, v, preferred_element_type=jnp.float32
                 ).astype(ctx_ref.dtype)
-    elif ablate == "qkv":
-        # skip the QKV matmul AND attention: isolates the base
-        # (x io + LN + O-proj + MLP) when compared with 'attn'
-        ctx_ref[:] = h1[:, :kw].astype(ctx_ref.dtype)
     elif attn_impl == "batched":
         # head-batched attention: two batched dot_generals with (image, head)
         # folded into ONE batch dim (Mosaic's tpu.matmul supports exactly one)
