@@ -157,3 +157,40 @@ def test_opt_state_moments_co_sharded_with_params():
     assert specs, "no params-mirroring moment trees found in opt_state"
     for spec in specs:
         assert spec == P(None, None, "model"), spec
+
+
+def test_pipeline_forward_matches_single_device():
+    """GPipe pipeline over mesh('stage') == the plain dense forward: layers
+    sharded by stage, microbatches streamed via ppermute."""
+    from vit_pruning_tpu.models.vit import init_vit_params, vit_forward
+    from vit_pruning_tpu.parallel.pipeline import make_stage_mesh, pipeline_forward
+
+    cfg = ViTConfig(image_size=16, patch_size=8, hidden_size=32, num_layers=4,
+                    num_heads=2, mlp_dim=64, num_labels=5)
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 16, 16))
+
+    want = vit_forward(params, x, cfg)["logits"]
+    mesh = make_stage_mesh(4)
+    got = jax.jit(
+        lambda p, v: pipeline_forward(p, v, cfg, mesh, num_microbatches=4)
+    )(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_forward_two_stages_uneven_microbatches():
+    from vit_pruning_tpu.models.vit import init_vit_params, vit_forward
+    from vit_pruning_tpu.parallel.pipeline import make_stage_mesh, pipeline_forward
+
+    cfg = ViTConfig(image_size=16, patch_size=8, hidden_size=32, num_layers=2,
+                    num_heads=2, mlp_dim=64, num_labels=5)
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 3, 16, 16))
+    want = vit_forward(params, x, cfg)["logits"]
+    mesh = make_stage_mesh(2)
+    got = jax.jit(
+        lambda p, v: pipeline_forward(p, v, cfg, mesh, num_microbatches=3)
+    )(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

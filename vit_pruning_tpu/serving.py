@@ -3,7 +3,9 @@
 The deployment path: uint8 pixels transfer to the device (4x less PCIe/HBM
 traffic than float32), the fused Pallas embed kernel normalizes + projects
 them (ops/pallas/embed.py), and the progressive-compaction pruned encoder
-classifies. This is the configuration behind the headline benchmark.
+classifies. The headline benchmark measures the float-input progressive path
+(both sides fed identically); `bench.py --serving` measures this uint8 path,
+whose win is host->device transfer, not on-chip time.
 """
 
 from __future__ import annotations
