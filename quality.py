@@ -27,8 +27,12 @@ Presets: 'headline' = 50% top-k token skip (the bench.py default config);
 init) + the aggressive keep schedule — the 3x+ throughput configuration whose
 accuracy budget round 1 left unvalidated. 'both' runs the two in sequence.
 
-With real data (CIFAR-100 dir via --data_path) the same flow reproduces the
-reference's quality anchor (89.85% dense / 88.91% pruned, BASELINE.md).
+--data_path <dir with cifar-100-python/> runs the same gate flow on real
+CIFAR-100 at the gate-model scale (32x32 inputs). The full reference
+reproduction (ViT-B/16 @224 from the pretrained checkpoint, anchor 89.85%
+dense / 88.91% pruned, BASELINE.md) goes through `cli.py train --model
+vit_base --dataset cifar100 --torch_checkpoint ...` — this file gates
+presets, it does not fine-tune ViT-B.
 
 Prints one JSON line on stdout; detail on stderr. Exit 0 iff every gate of
 every requested preset passes.
