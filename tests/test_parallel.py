@@ -194,3 +194,22 @@ def test_pipeline_forward_two_stages_uneven_microbatches():
     )(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_composes_with_data_parallelism():
+    """pp x dp: a ('stage','data') mesh pipelines data-sharded microbatches;
+    the stage hop names only 'stage', so data shards run side by side."""
+    from vit_pruning_tpu.models.vit import init_vit_params, vit_forward
+    from vit_pruning_tpu.parallel.pipeline import make_stage_mesh, pipeline_forward
+
+    cfg = ViTConfig(image_size=16, patch_size=8, hidden_size=32, num_layers=4,
+                    num_heads=2, mlp_dim=64, num_labels=5)
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 3, 16, 16))
+    want = vit_forward(params, x, cfg)["logits"]
+    mesh = make_stage_mesh(2, data=4)
+    got = jax.jit(
+        lambda p, v: pipeline_forward(p, v, cfg, mesh, num_microbatches=2)
+    )(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

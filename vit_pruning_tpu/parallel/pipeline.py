@@ -33,13 +33,20 @@ from vit_pruning_tpu.configs import ViTConfig
 from vit_pruning_tpu.models.vit import embed, layer_norm, vit_layer
 
 
-def make_stage_mesh(stages: int, devices=None) -> Mesh:
+def make_stage_mesh(stages: int, data: int = 1, devices=None) -> Mesh:
+    """('stage',) mesh, or ('stage', 'data') when data > 1 — pipeline
+    composed with batch data parallelism (each stage row holds `data`
+    devices that split every microbatch)."""
     devices = list(devices if devices is not None else jax.devices())
-    if stages > len(devices):
-        raise ValueError(f"pipeline of {stages} stages needs {stages} devices, "
+    n = stages * data
+    if n > len(devices):
+        raise ValueError(f"pipeline mesh {stages}x{data} needs {n} devices, "
                          f"have {len(devices)}")
-    arr = mesh_utils.create_device_mesh((stages,), devices=devices[:stages])
-    return Mesh(arr, ("stage",))
+    if data == 1:
+        arr = mesh_utils.create_device_mesh((stages,), devices=devices[:n])
+        return Mesh(arr, ("stage",))
+    arr = mesh_utils.create_device_mesh((stages, data), devices=devices[:n])
+    return Mesh(arr, ("stage", "data"))
 
 
 def pipeline_forward(
@@ -71,13 +78,21 @@ def pipeline_forward(
 
     layers = params["layers"]  # stacked [L, ...]
 
+    # pp x dp composition: with a ('stage','data') mesh each microbatch is
+    # additionally batch-sharded over 'data'; the stage hop (ppermute) and
+    # the final broadcast (psum) name only 'stage', so data shards pipeline
+    # independently side by side
+    has_data = "data" in mesh.axis_names
+    mb_spec = P(None, "data") if has_data else P()
+
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P("stage"), P()),
-        out_specs=P(),
+        in_specs=(P("stage"), mb_spec),
+        out_specs=mb_spec,
     )
     def run(local_layers, mbs):
-        # local_layers leaves: [per_stage, ...]; mbs replicated [M, mb, S, D]
+        # local_layers leaves: [per_stage, ...]; mbs [M, mb(/data), S, D]
+        mb_local = mbs.shape[1]
         stage = jax.lax.axis_index("stage")
         M = num_microbatches
         T = M + stages - 1
@@ -105,11 +120,12 @@ def pipeline_forward(
             buf = jax.lax.ppermute(y, "stage", fwd)
             return buf, out
 
-        # the loop carry becomes stage-varying after the first ppermute, so
-        # the (replicated) zero initializers must be cast to 'varying' for
-        # shard_map's manual-axes typing
-        buf0 = jax.lax.pcast(jnp.zeros((mb, s_len, d), mbs.dtype),
-                             ("stage",), to="varying")
+        # the loop carry becomes varying (over stage via ppermute, over data
+        # via the data-sharded microbatches), so the zero initializers must
+        # be cast to 'varying' for shard_map's manual-axes typing
+        buf0 = jax.lax.pcast(jnp.zeros((mb_local, s_len, d), mbs.dtype),
+                             tuple(mesh.axis_names), to="varying")
+        # zeros_like(mbs) already varies over 'data'; add only 'stage'
         out0 = jax.lax.pcast(jnp.zeros_like(mbs), ("stage",), to="varying")
         _, out = jax.lax.fori_loop(0, T, step, (buf0, out0))
         # only the last stage holds real outputs; broadcast via psum of a
