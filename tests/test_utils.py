@@ -88,3 +88,18 @@ def test_html_log_sink(tmp_path):
     log.close()
     html = open(tmp_path / "run1.html").read()
     assert "hello &lt;world&gt;" in html and "<html>" in html
+
+
+def test_composed_schedule_and_live_counts():
+    from vit_pruning_tpu.configs import composed_schedule, schedule_live
+
+    s = composed_schedule(196, 12)
+    assert s == (130,) + (65,) * 4 + (32,) * 7
+    live = schedule_live(s, 196)
+    assert live == (131,) + (66,) * 4 + (33,) * 7
+    # short models: no negative repeats (regression — the old inline literal
+    # silently truncated for num_layers < 5)
+    s3 = composed_schedule(64, 3)
+    assert len(s3) == 3 and all(v > 0 for v in s3)
+    # 0 entries mean "no further drop" and live counts never grow
+    assert schedule_live((10, 0, 4, 0), 64) == (11, 11, 5, 5)
