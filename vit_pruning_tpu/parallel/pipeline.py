@@ -30,7 +30,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from vit_pruning_tpu.configs import ViTConfig
-from vit_pruning_tpu.models.vit import embed, layer_norm, vit_layer
+from vit_pruning_tpu.models.vit import _layer_slice, embed, layer_norm, vit_layer
 
 
 def make_stage_mesh(stages: int, data: int = 1, devices=None) -> Mesh:
@@ -58,7 +58,7 @@ def pipeline_forward(
 ) -> jnp.ndarray:
     """Dense ViT forward with encoder layers pipelined across mesh('stage').
 
-    Returns logits [B, num_labels]. B must divide into num_microbatches.
+    Returns logits [B, num_labels]. num_microbatches must divide B.
     Embed and the classifier head run replicated (they are a tiny fraction
     of the FLOPs); only the L encoder layers are staged.
     """
@@ -100,8 +100,7 @@ def pipeline_forward(
 
         def stage_compute(x):
             def body(i, h):
-                lp = jax.tree.map(lambda a: a[i], local_layers)
-                return vit_layer(h, lp, config)
+                return vit_layer(h, _layer_slice(local_layers, i), config)
             return jax.lax.fori_loop(0, per_stage, body, x)
 
         def step(t, carry):
@@ -136,5 +135,6 @@ def pipeline_forward(
 
     out = run(layers, mbs)  # [M, mb, S, D]
     h = out.reshape(b, s_len, d)
+    # classifier tail matches models/vit.py::vit_forward (the ground truth)
     h = layer_norm(h, params["ln_f"], config.layernorm_eps)
     return h[:, 0] @ params["head"]["w"] + params["head"]["b"]
