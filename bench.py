@@ -85,6 +85,11 @@ def main():
                          "channels) with the aggressive token schedule — the "
                          "3x+ configuration (accuracy trade unvalidated "
                          "without real data)")
+    ap.add_argument("--mask_budget", type=int, default=None,
+                    help="mode=mask per-image density cap (PruneConfig."
+                         "mask_budget): keep at most this many highest-"
+                         "scoring above-threshold tokens — pins the bucketed "
+                         "capacity at budget+1 (VERDICT r2 #3)")
     ap.add_argument("--quant", default="none", choices=["none", "int8"],
                     help="serving quantization for the PRUNED side (int8 "
                          "dynamic-activation weight matmuls, ops/quant.py; "
@@ -139,7 +144,8 @@ def main():
             kk = max(1, int(round(n * (1.0 - skip))))
             pc = PruneConfig(mode=mode, predictor="cls_mlp", loss="mse_attention", top_k=kk)
             if mode == "topk_prog":
-                f = lambda p, v: progressive_topk_forward(p, v, config, pc)["logits"]
+                f = lambda p, v: progressive_topk_forward(
+                    p, v, config, pc, logits_only=True)["logits"]
             else:
                 rng_ = jax.random.PRNGKey(7) if mode == "random" else None
                 f = lambda p, v: pruned_vit_forward(p, v, config, pc, rng=rng_)["logits"]
@@ -188,8 +194,14 @@ def main():
         args.skip = 1.0 - (sum(live) / len(live)) / n
         log(f"schedule {schedule}: mean live {sum(live)/len(live):.1f}/{n} "
             f"patches = {args.skip:.1%} average skip")
-    pcfg = PruneConfig(mode=args.mode, predictor="cls_mlp", loss="mse_attention",
-                       top_k=k, keep_schedule=schedule)
+    # loss is a TRAINING-time field (inert for these untrained-inference
+    # timings); set it to the recipe quality.py gates each preset with so the
+    # benched PruneConfig byte-matches the gated serving_config (headline =
+    # bce_oracle, composed/deep schedules = mse_attention)
+    pcfg = PruneConfig(mode=args.mode, predictor="cls_mlp",
+                       loss="mse_attention" if schedule else "bce_oracle",
+                       top_k=k, keep_schedule=schedule,
+                       mask_budget=args.mask_budget)
 
     log(f"model={args.model} batch={args.batch} dtype={args.dtype} "
         f"keep k={k}/{n} devices={jax.devices()}")
@@ -238,7 +250,8 @@ def main():
 
         pruned = quantized(_serving_loop)  # trace-time: quant applies here too
     elif args.mode == "topk_prog":
-        pruned_fn = lambda p, v: progressive_topk_forward(p, v, pruned_config, pcfg)["logits"]
+        pruned_fn = lambda p, v: progressive_topk_forward(
+            p, v, pruned_config, pcfg, logits_only=True)["logits"]
         pruned = amortized(quantized(pruned_fn), args.inner)
     else:
         rng = jax.random.PRNGKey(7) if args.mode == "random" else None
@@ -309,7 +322,8 @@ def main():
             bb, [list(range(0, config.mlp_dim, 2))] * config.num_layers)
         cparams = jax.tree.map(lambda a: a.astype(dtype), cparams)
         comp = amortized(
-            lambda p, v: progressive_topk_forward(p, v, c_config, cpcfg)["logits"],
+            lambda p, v: progressive_topk_forward(
+                p, v, c_config, cpcfg, logits_only=True)["logits"],
             args.inner,
         )
         t_comp = timeit(comp, (cparams, x), args.iters) / args.inner

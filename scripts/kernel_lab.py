@@ -173,6 +173,8 @@ def main():
         (197, "staged2", 8, "noexp"),
         (99, "staged2", 8, "nogelu"),      # GELU transcendental cost
         (197, "staged2", 8, "nogelu"),
+        (99, "int8", 8, "none"),           # int8 weight-matmul megakernel
+        (197, "int8", 8, "none"),
         (99, "copy", 0, "none"),           # dispatch-floor control, cached
     ]
     for s, impl, bb, ab in matrix:

@@ -59,6 +59,32 @@ def main():
         ref8 = int8_vit_layer_ref(x, qp, cfg)
         got8 = fused_vit_layer_int8(x, qp, cfg.num_heads, eps=cfg.layernorm_eps)
         ok &= check(f"int8 S={s}", got8, ref8, tol=2e-2)
+
+        # CLS-epilogue fusion (last layer + final-LN + classifier, r3)
+        from vit_pruning_tpu.models.vit import layer_norm
+        from vit_pruning_tpu.ops.pallas.layer import fused_vit_layer_cls_logits
+
+        lnf = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params["ln_f"])
+        head = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params["head"])
+        y32 = vit_layer(x.astype(jnp.float32),
+                        jax.tree.map(lambda a: a.astype(jnp.float32), lp), cfg)
+        yn = layer_norm(y32, jax.tree.map(lambda a: a.astype(jnp.float32), params["ln_f"]),
+                        cfg.layernorm_eps)
+        ref_l = yn[:, 0] @ params["head"]["w"] + params["head"]["b"]
+        got_l = fused_vit_layer_cls_logits(x, lp, lnf, head, cfg.num_heads,
+                                           eps=cfg.layernorm_eps)
+        ok &= check(f"cls_logits S={s}", got_l, ref_l, tol=2e-2)
+
+    # float fused embed (r3)
+    from vit_pruning_tpu.models.vit import embed
+    from vit_pruning_tpu.ops.pallas.embed import embed_fused
+
+    ep = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params["embed"])
+    px = jax.random.normal(jax.random.PRNGKey(3), (16, 3, 224, 224), jnp.bfloat16)
+    ref_e = embed(px.astype(jnp.float32),
+                  jax.tree.map(lambda a: a.astype(jnp.float32), params["embed"]), cfg)
+    got_e = embed_fused(px, ep, cfg)
+    ok &= check("embed_fused", got_e, ref_e, tol=2e-2)
     print("ALL PASS" if ok else "SOME FAILED")
     sys.exit(0 if ok else 1)
 

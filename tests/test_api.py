@@ -85,3 +85,24 @@ def test_topk_prog_inference_contract():
     assert out.logits.shape == (2, CFG.num_labels)
     assert out.boolean_masks.shape == (CFG.num_layers, 2, CFG.seq_len)
     assert out.last_hidden_state.shape[0] == 2
+
+
+def test_quant_mode_change_retraces_cached_jit():
+    """quant is part of ModifiedViTModel's traced signature: flipping the
+    dispatch global AFTER the first call must change the computation (the
+    round-2 advisor's stale-cache scenario)."""
+    import numpy as np
+
+    from vit_pruning_tpu.configs import PruneConfig, vit_tiny
+    from vit_pruning_tpu.models.api import ModifiedViTModel
+    from vit_pruning_tpu.ops.dispatch import quant_mode
+
+    cfg = vit_tiny()
+    m = ModifiedViTModel(cfg, prune_config=PruneConfig(mode="none", predictor="none"))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, cfg.image_size, cfg.image_size))
+    base = np.asarray(m(x).logits)
+    with quant_mode("int8"):
+        quant = np.asarray(m(x).logits)  # same cached _jitted, new static arg
+    after = np.asarray(m(x).logits)
+    assert not np.allclose(base, quant), "int8 mode did not retrace"
+    np.testing.assert_allclose(base, after, atol=0)  # mode restored exactly

@@ -282,3 +282,71 @@ def test_quant_mode_int8_progressive_and_head_pruned():
                                        use_pallas=False)["logits"]
     rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
     assert 0.0 < rel < 0.05, rel  # quantization engaged AND small
+
+
+# --- Serving fixed-cost fusions (VERDICT r2 #5) -----------------------------
+
+def test_fused_cls_logits_matches_reference():
+    """Last layer + final-LN + classifier in one CLS-only kernel == the full
+    vit_layer -> layer_norm -> head pipeline (CLS attention sees the same
+    full K/V set; non-CLS rows are dead work, not different math)."""
+    from vit_pruning_tpu.configs import vit_tiny
+    from vit_pruning_tpu.models.vit import init_vit_params, layer_norm, vit_layer
+    from vit_pruning_tpu.ops.pallas.layer import fused_vit_layer_cls_logits
+
+    cfg = vit_tiny()
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    lp = jax.tree.map(lambda a: a[-1], params["layers"])
+    # odd sequence length (compacted serving shape)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 11, cfg.hidden_size))
+
+    y = vit_layer(x, lp, cfg, use_pallas=False, quant="none")
+    yn = layer_norm(y, params["ln_f"], cfg.layernorm_eps)
+    ref = yn[:, 0] @ params["head"]["w"] + params["head"]["b"]
+
+    got = fused_vit_layer_cls_logits(
+        x, lp, params["ln_f"], params["head"], cfg.num_heads,
+        eps=cfg.layernorm_eps, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_embed_f_matches_reference():
+    """Float fused patch embed == models.vit.embed (projection + pos + CLS)."""
+    from vit_pruning_tpu.configs import vit_tiny
+    from vit_pruning_tpu.models.vit import embed, init_vit_params
+    from vit_pruning_tpu.ops.pallas.embed import embed_fused
+
+    cfg = vit_tiny()
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (3, 3, cfg.image_size, cfg.image_size))
+    ref = embed(x, params["embed"], cfg)
+    got = embed_fused(x, params["embed"], cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_progressive_logits_only_matches_full_output():
+    """logits_only=True (the deployment fast path) returns the same logits
+    as the full progressive forward on the jnp path."""
+    from vit_pruning_tpu.configs import PruneConfig, vit_tiny
+    from vit_pruning_tpu.models.pruned_vit import (
+        init_pruned_vit_params,
+        progressive_topk_forward,
+    )
+
+    cfg = vit_tiny()
+    pcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                       keep_schedule=(10, 0, 6))
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), cfg, pcfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, cfg.image_size, cfg.image_size))
+    full = progressive_topk_forward(params, x, cfg, pcfg, use_pallas=False)
+    fast = progressive_topk_forward(params, x, cfg, pcfg, use_pallas=False,
+                                    logits_only=True)
+    np.testing.assert_allclose(np.asarray(fast["logits"]),
+                               np.asarray(full["logits"]), atol=1e-5)
+    assert "last_hidden" not in fast and "cls" not in fast
+    np.testing.assert_array_equal(np.asarray(fast["keep_masks"]),
+                                  np.asarray(full["keep_masks"]))

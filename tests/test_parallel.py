@@ -213,3 +213,62 @@ def test_pipeline_composes_with_data_parallelism():
     )(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_pruned_pipeline_matches_progressive_forward():
+    """VERDICT r2 #7: the topk_prog serving path pipelines over mesh('stage')
+    — per-stage lax.switch branches at each stage's static compacted lengths,
+    drops shared with the single-chip path via progressive_drop. A mid-stage
+    drop (layer 2 of stage 1) exercises the no-boundary-alignment claim."""
+    from vit_pruning_tpu.models.pruned_vit import (
+        init_pruned_vit_params,
+        progressive_topk_forward,
+    )
+    from vit_pruning_tpu.parallel.pipeline import (
+        make_stage_mesh,
+        pruned_pipeline_forward,
+    )
+
+    cfg = ViTConfig(image_size=16, patch_size=4, hidden_size=32, num_layers=4,
+                    num_heads=2, mlp_dim=64, num_labels=5)  # 16 patches
+    pcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                       keep_schedule=(10, 0, 6, 0))  # drops at layers 0 AND 2
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), cfg, pcfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 16, 16))
+
+    want = progressive_topk_forward(params, x, cfg, pcfg, use_pallas=False)["logits"]
+    mesh = make_stage_mesh(2)  # stage 1 = layers [2, 4): drop at its layer 0
+    got = jax.jit(
+        lambda p, v: pruned_pipeline_forward(p, v, cfg, pcfg, mesh,
+                                             num_microbatches=4)
+    )(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pruned_pipeline_composes_with_data_parallelism():
+    """pp x dp with topk_prog on the 8-device mesh (VERDICT r2 #7)."""
+    from vit_pruning_tpu.models.pruned_vit import (
+        init_pruned_vit_params,
+        progressive_topk_forward,
+    )
+    from vit_pruning_tpu.parallel.pipeline import (
+        make_stage_mesh,
+        pruned_pipeline_forward,
+    )
+
+    cfg = ViTConfig(image_size=16, patch_size=4, hidden_size=32, num_layers=4,
+                    num_heads=2, mlp_dim=64, num_labels=5)
+    pcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                       keep_schedule=(10, 6, 0, 0))
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), cfg, pcfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 3, 16, 16))
+
+    want = progressive_topk_forward(params, x, cfg, pcfg, use_pallas=False)["logits"]
+    mesh = make_stage_mesh(2, data=4)
+    got = jax.jit(
+        lambda p, v: pruned_pipeline_forward(p, v, cfg, pcfg, mesh,
+                                             num_microbatches=2)
+    )(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

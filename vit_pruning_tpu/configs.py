@@ -130,8 +130,15 @@ PREDICTOR_KINDS = (
     "cls_cosine",    # parameter-free heuristic: keep tokens LEAST similar to
                      #   CLS (M10, pradeep/adv_testing_ideas.py:51-100)
     "key_mlp",       # MLP on per-token head-averaged attention-key vectors
-                     #   (M8/M9, himanshu/midlayer.py:250-330,
-                     #    pradeep/key_considerations.py:148-175,280-346)
+                     #   (M8/M9 plumbing, himanshu/midlayer.py:250-330,
+                     #    pradeep/key_considerations.py:148-175)
+    "key_cosine",    # M9's actual decision rule (parameter-free): PROCESS
+                     #   tokens whose head-averaged key vector stays SIMILAR
+                     #   between this layer's input and its dense output —
+                     #   cosine of find_k_values(layer(x)) vs find_k_values(x)
+                     #   > threshold = process (pradeep/key_considerations.py:
+                     #   280-298 MaskIt, :330-346 wiring). Score = (cos+1)/2,
+                     #   so set mlp_threshold = (reference sim_threshold+1)/2.
     "none",          # no learned predictor (oracle / random / heuristic modes)
 )
 
@@ -171,6 +178,14 @@ class PruneConfig:
     # neighbor-averaging mixing weight for previously-skipped tokens
     # (0 disables; himanshu/model_utils.py:47-51)
     avg_threshold: float = 0.0
+    # mode='mask' per-image density cap: after thresholding, keep at most
+    # this many highest-scoring above-threshold patch tokens per image
+    # (None = uncapped). The reference's typical image keeps the same token
+    # set; only fat-tail images get score-ranked truncation — this pins the
+    # bucketed execution capacity at budget+1 instead of the batch-max
+    # kept-count (a fat binomial tail at ~50% density otherwise sets the
+    # bucket ~25% above the mean; see RESULTS.md mask-mode table).
+    mask_budget: Optional[int] = None
     # number of patch tokens kept in topk mode (CLS kept in addition)
     top_k: int = 150
     # oracle mixing weight: alpha*cos + (1-alpha)*dist (model_utils.py:100)
@@ -253,7 +268,7 @@ class PruneConfig:
                     "sequence; with mode='topk_prog' use a keep_schedule "
                     "that only drops at layer 0, or a per-token predictor "
                     "(cls_mlp/token_mlp/common_mlp/bottleneck/cls_cosine/"
-                    "key_mlp)"
+                    "key_mlp/key_cosine)"
                 )
 
     def to_json(self) -> str:

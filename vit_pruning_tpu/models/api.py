@@ -65,11 +65,17 @@ class ModifiedViTModel:
     def _jitted(self):
         cfg, pcfg = self.config, self.prune_config
 
-        @functools.partial(jax.jit, static_argnames=("compute_cosine", "train"))
-        def fwd(params, pixel_values, rng, compute_cosine, train):
+        # quant is a STATIC argument re-read from the dispatch global at every
+        # __call__, so quant_mode('int8') around later calls retraces instead
+        # of silently reusing whichever mode was active at first trace
+        @functools.partial(
+            jax.jit, static_argnames=("compute_cosine", "train", "quant")
+        )
+        def fwd(params, pixel_values, rng, compute_cosine, train, quant):
             return pruned_vit_forward(
                 params, pixel_values, cfg, pcfg,
                 train=train, compute_oracle=compute_cosine, rng=rng,
+                quant=quant,
             )
 
         return fwd
@@ -81,10 +87,12 @@ class ModifiedViTModel:
         output_mask: Optional[bool] = None,
         rng: Optional[jax.Array] = None,
     ):
+        from vit_pruning_tpu.ops.dispatch import serving_quant
+
         out = self._jitted(
             self.params, pixel_values,
             rng if rng is not None else jax.random.PRNGKey(0),
-            compute_cosine, self._training,
+            compute_cosine, self._training, serving_quant(),
         )
         res = SimpleNamespace(
             logits=out["logits"],

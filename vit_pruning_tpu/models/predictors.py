@@ -119,6 +119,8 @@ def init_predictor_params(
         return {"mlp": stack(lambda k: _init_mlp(k, [d, 32, d, 32, 1]))}
     if kind == "cls_cosine":
         return {}  # parameter-free heuristic (M10)
+    if kind == "key_cosine":
+        return {}  # parameter-free heuristic (M9)
     if kind == "key_mlp":
         # reference key_mlp is [64, 768, 384, 1] on head-averaged keys
         # (himanshu/midlayer.py:250-330); generalized to this config's dims
@@ -242,6 +244,36 @@ def apply_predictor(
         keys = keys.reshape(b_, s_, config.num_heads, config.head_dim).mean(axis=2)
         scores = _apply_mlp(_slice_layer(pred_params["key_mlp"], layer_idx), keys[:, 1:])[..., 0]
         extras["keys"] = keys
+    elif kind == "key_cosine":
+        # M9's decision rule (pradeep/key_considerations.py:330-346): run the
+        # full layer once, form head-averaged key vectors from the layer's
+        # INPUT and from its OUTPUT with the same ln1/Wk (find_k_values,
+        # :148-175 — the output keys stand in for "the next layer's keys").
+        # MaskIt (:280-298) sets mask = cos(key_next, key_cur) > threshold and
+        # the reference PROCESSES mask-True tokens — i.e. tokens whose keys
+        # stayed SIMILAR are processed; changed keys are skipped. We reproduce
+        # that orientation exactly: score = (cos + 1)/2, keep = score >=
+        # mlp_threshold, so mlp_threshold = (reference sim_threshold + 1)/2
+        # reproduces the reference cut. The dense layer output is returned in
+        # extras['dense_out'] so the caller can reuse it (oracle pass / M3).
+        if layer_params is None:
+            raise ValueError("predictor 'key_cosine' needs layer_params")
+        from vit_pruning_tpu.models.vit import layer_norm, vit_layer
+
+        def _avg_keys(h):
+            hn = layer_norm(h, layer_params["ln1"], config.layernorm_eps)
+            k = hn @ layer_params["attn"]["k"]["w"] + layer_params["attn"]["k"]["b"]
+            b_, s_, _ = k.shape
+            return k.reshape(b_, s_, config.num_heads, config.head_dim).mean(axis=2)
+
+        dense_out = vit_layer(hidden_states, layer_params, config, quant="none")
+        k_cur = _avg_keys(hidden_states)
+        k_next = _avg_keys(dense_out)
+        dot = jnp.sum(k_next * k_cur, axis=-1)
+        nrm = jnp.linalg.norm(k_next, axis=-1) * jnp.linalg.norm(k_cur, axis=-1)
+        cos01 = (dot / jnp.maximum(nrm, 1e-12) + 1.0) / 2.0
+        scores = cos01[:, 1:]  # patch tokens (CLS kept by framework invariant)
+        extras["dense_out"] = dense_out
     else:
         raise ValueError(f"predictor kind {kind!r} has no apply rule")
 

@@ -111,6 +111,7 @@ def bucketed_masked_layer(
     mask: jnp.ndarray,
     config: ViTConfig,
     use_pallas: bool = False,
+    quant: str = "none",
 ) -> jnp.ndarray:
     """Mask-mode layer with REAL compute savings (SURVEY §7 hard part (b)).
 
@@ -147,7 +148,7 @@ def bucketed_masked_layer(
             # full length: no compaction needed — run the masked layer as-is
             def br(x):
                 return vit_layer(x, layer_params, config, token_mask=mask,
-                                 use_pallas=use_pallas)
+                                 use_pallas=use_pallas, quant=quant)
             return br
 
         def br(x):
@@ -159,7 +160,7 @@ def bucketed_masked_layer(
                 < counts[:, None]
             )
             yc = vit_layer(xc, layer_params, config, token_mask=key_ok,
-                           use_pallas=use_pallas)
+                           use_pallas=use_pallas, quant=quant)
             return jnp.einsum("brt,brd->btd", P, yc)
         return br
 
@@ -193,6 +194,7 @@ def pruned_layer_forward(
     need_oracle: bool,
     rng: Optional[jax.Array],
     use_pallas: bool = False,
+    quant: str = "none",
     updatenet_params: Optional[dict] = None,
     teacher: Optional[tuple] = None,
 ):
@@ -230,18 +232,32 @@ def pruned_layer_forward(
             x[:, 1:].shape,
         )
 
-    dense_out = None
+    # key_cosine computes the dense layer pass itself — reuse it rather than
+    # paying a second full pass for the oracle / M3
+    dense_out = extras.get("dense_out")
     probs = None
     need_probs = need_oracle and pcfg.loss == "mse_attention"
     if (pcfg.mode == "oracle" or pcfg.measure_only or need_probs
             or (need_oracle and teacher is None)):
         if need_probs:
             dense_out, probs = vit_layer(x, layer_params, config, return_probs=True)
-        else:
-            dense_out = vit_layer(x, layer_params, config, use_pallas=use_pallas)
+        elif dense_out is None:
+            dense_out = vit_layer(x, layer_params, config, use_pallas=use_pallas,
+                                  quant=quant)
 
     if pcfg.mode == "mask":
         keep = threshold_keep_mask(scores, _mlp_threshold(pcfg, layer_idx))
+        if pcfg.mask_budget is not None and pcfg.mask_budget < n:
+            # per-image density cap: at most mask_budget highest-scoring
+            # above-threshold tokens. The typical image (kept-count <=
+            # budget) keeps exactly the thresholded set — reference
+            # semantics (himanshu/model_utils.py:62-91); only fat-tail
+            # images are truncated by score rank. This pins the bucketed
+            # execution capacity at budget+1 instead of the batch max.
+            capped, _ = topk_keep_mask(
+                jnp.where(keep, scores, -jnp.inf), pcfg.mask_budget
+            )
+            keep = keep & capped
         mask = add_cls_keep(keep)
         if pcfg.measure_only:
             # M13 (pradeep/mid2.py:64-70): stats only, dense execution
@@ -249,16 +265,17 @@ def pruned_layer_forward(
         elif pcfg.query_only:
             # M15 (recap/convprad.py:188-190): skipped tokens stay in K/V;
             # only their own (query) outputs are discarded
-            y = vit_layer(x, layer_params, config, use_pallas=use_pallas)
+            y = vit_layer(x, layer_params, config, use_pallas=use_pallas, quant=quant)
             out = jnp.where(mask[..., None], y, _passthrough(x, extras, mask))
         elif not need_oracle:
             # serving: bucketed compaction — same kept-key attention set,
             # but the executed shape tracks the batch's actual mask density
             y = bucketed_masked_layer(x, layer_params, mask, config,
-                                      use_pallas=use_pallas)
+                                      use_pallas=use_pallas, quant=quant)
             out = jnp.where(mask[..., None], y, _passthrough(x, extras, mask))
         else:
-            y = vit_layer(x, layer_params, config, token_mask=mask, use_pallas=use_pallas)
+            y = vit_layer(x, layer_params, config, token_mask=mask,
+                          use_pallas=use_pallas, quant=quant)
             out = jnp.where(mask[..., None], y, _passthrough(x, extras, mask))
     elif pcfg.mode == "topk":
         keep, kidx = topk_keep_mask(scores, pcfg.top_k)
@@ -268,7 +285,7 @@ def pruned_layer_forward(
             # XLA's dynamic gather/scatter costs ~2 ms/layer at these shapes
             # (measured: gather/scatter form 12.7k img/s vs 14.2k bucketed)
             y = bucketed_masked_layer(x, layer_params, mask, config,
-                                      use_pallas=use_pallas)
+                                      use_pallas=use_pallas, quant=quant)
             out = jnp.where(mask[..., None], y, _passthrough(x, extras, mask))
         else:
             # CLS + sorted top-k patch indices == compact_indices(mask, k+1)
@@ -276,7 +293,8 @@ def pruned_layer_forward(
                 [jnp.zeros((b, 1), jnp.int32),
                  jnp.sort(kidx.astype(jnp.int32), axis=-1) + 1], axis=1)
             xc = gather_compact(x, cidx)
-            yc = vit_layer(xc, layer_params, config, use_pallas=use_pallas)
+            yc = vit_layer(xc, layer_params, config, use_pallas=use_pallas,
+                           quant=quant)
             out = scatter_back(_passthrough(x, extras, mask), cidx, yc)
     elif pcfg.mode == "oracle":
         sim_o = similarity_oracle(x[:, 1:], dense_out[:, 1:], pcfg.oracle_alpha)
@@ -296,9 +314,10 @@ def pruned_layer_forward(
             # fixed per-image budget => the bucket ladder sits tight over
             # budget+1: mask-mode execution cost at the exact skip rate
             y = bucketed_masked_layer(x, layer_params, mask, config,
-                                      use_pallas=use_pallas)
+                                      use_pallas=use_pallas, quant=quant)
         else:
-            y = vit_layer(x, layer_params, config, token_mask=mask, use_pallas=use_pallas)
+            y = vit_layer(x, layer_params, config, token_mask=mask,
+                          use_pallas=use_pallas, quant=quant)
         out = jnp.where(mask[..., None], y, x)
     else:
         raise ValueError(f"unknown prune mode {pcfg.mode!r}")
@@ -370,6 +389,7 @@ def pruned_vit_forward(
     compute_oracle: bool = False,
     rng: Optional[jax.Array] = None,
     use_pallas: Optional[bool] = None,
+    quant: Optional[str] = None,
     remat: bool = False,
 ):
     """Full pruned forward.
@@ -384,10 +404,20 @@ def pruned_vit_forward(
     layer, exactly like the reference's training/full_testing paths.
     """
     need_oracle = train or compute_oracle
+    if need_oracle:
+        # training/oracle paths always run unquantized: int8 matmuls have no
+        # useful gradient (round/clip are zero-derivative) and the oracle
+        # teacher should be the float model (set_serving_quant docstring)
+        quant = "none"
+    elif quant is None:
+        from vit_pruning_tpu.ops.dispatch import serving_quant
+
+        quant = serving_quant()
     if pcfg.mode == "topk_prog" and not need_oracle:
         # serving path: progressive compaction (no oracle instrumentation)
         return progressive_topk_forward(
-            params, pixel_values, config, pcfg, use_pallas=use_pallas
+            params, pixel_values, config, pcfg, use_pallas=use_pallas,
+            quant=quant,
         )
     if pcfg.mode == "topk_prog":
         # training/oracle passes use the per-layer re-decide semantics the
@@ -414,12 +444,13 @@ def pruned_vit_forward(
         lp = _layer_slice(backbone["layers"], i)
         teacher = None
         if use_teacher:
-            t_out = vit_layer(x_teacher, lp, config, use_pallas=use_pallas)
+            t_out = vit_layer(x_teacher, lp, config, use_pallas=use_pallas,
+                              quant=quant)
             teacher = (x_teacher, t_out)
             x_teacher = t_out
         if not _is_active(pcfg, i):
             x_in = x
-            x = vit_layer(x, lp, config, use_pallas=use_pallas)
+            x = vit_layer(x, lp, config, use_pallas=use_pallas, quant=quant)
             if skip_vec is not None:
                 # M8: "skip the next layer" means the physically next layer,
                 # whether or not it is an active pruning layer — consume the
@@ -442,7 +473,7 @@ def pruned_vit_forward(
                     lp_, pred_, _i, x_, config, pcfg,
                     prev_keep=prev_keep_, nbr_idx=nbr_idx,
                     need_oracle=need_oracle, rng=rng_, use_pallas=use_pallas,
-                    updatenet_params=un_, teacher=teacher_,
+                    quant=quant, updatenet_params=un_, teacher=teacher_,
                 )
             if remat:
                 # trade FLOPs for memory on long fine-tunes (the reference's
@@ -504,6 +535,36 @@ def skip_ratio(keep_masks: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - keep_masks.mean(axis=(1, 2), dtype=jnp.float32)
 
 
+def progressive_drop(
+    x: jnp.ndarray,
+    pred_params: Optional[dict],
+    layer_idx: int,
+    k: int,
+    config: ViTConfig,
+    pcfg: PruneConfig,
+    layer_params: Optional[dict] = None,
+):
+    """One progressive-compaction drop: score the current (possibly already
+    compacted) sequence and keep CLS + the top-k patches, preserving token
+    order. Shared by progressive_topk_forward and the pruned pipeline
+    (parallel/pipeline.py) so both execute identical selection semantics.
+
+    Returns (x_compacted [B, k+1, D], scores [B, cur-1], cidx [B, k+1]).
+    """
+    b = x.shape[0]
+    scores, _ = apply_predictor(
+        pred_params, layer_idx, x, config, pcfg, layer_params=layer_params
+    )
+    # fast compaction: CLS + the sorted top-k patch indices directly
+    # (equivalent to compact_indices over the thresholded mask, but sorts
+    # [B, k] instead of argsorting the full [B, S])
+    _, kidx = jax.lax.top_k(scores, k)
+    cidx = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32),
+         jnp.sort(kidx.astype(jnp.int32), axis=-1) + 1], axis=1)
+    return gather_compact(x, cidx), scores, cidx
+
+
 def progressive_topk_forward(
     params: dict,
     pixel_values: jnp.ndarray,
@@ -511,7 +572,9 @@ def progressive_topk_forward(
     pcfg: PruneConfig,
     *,
     use_pallas: Optional[bool] = None,
+    quant: Optional[str] = None,
     x0: Optional[jnp.ndarray] = None,
+    logits_only: bool = False,
 ):
     """Serving-optimized progressive compaction (mode='topk_prog').
 
@@ -523,6 +586,14 @@ def progressive_topk_forward(
     sequence. This removes ~40% of the pruned path's HBM traffic and is the
     deployment configuration for the >=3x throughput target.
 
+    logits_only=True (the deployment fast path) drops 'cls'/'last_hidden'
+    from the output and, on the Pallas path, (a) fuses the patch embedding's
+    projection + position add into one kernel pass and (b) fuses the LAST
+    layer + final-LN + classifier into a CLS-only megakernel — the last
+    layer's non-CLS Q/attention/MLP rows are dead work once only logits are
+    consumed (ops/pallas/layer.py::fused_vit_layer_cls_logits; VERDICT r2
+    #5 fixed-cost shave). Numerics are identical to the full path.
+
     Returns dict(logits, cls, keep_masks [L, B, S] bool mapped back to
     original token positions for viz parity, scores [L, B, N] in original
     positions with -inf at dropped positions).
@@ -531,10 +602,21 @@ def progressive_topk_forward(
         from vit_pruning_tpu.ops.dispatch import use_pallas as _resolve
 
         use_pallas = _resolve()
+    if quant is None:
+        from vit_pruning_tpu.ops.dispatch import serving_quant
+
+        quant = serving_quant()
     backbone = params["backbone"]
     pred = params.get("predictor")
 
-    x = x0 if x0 is not None else embed(pixel_values, backbone["embed"], config)
+    if x0 is not None:
+        x = x0
+    elif logits_only and use_pallas:
+        from vit_pruning_tpu.ops.pallas.embed import embed_fused
+
+        x = embed_fused(pixel_values, backbone["embed"], config)
+    else:
+        x = embed(pixel_values, backbone["embed"], config)
     b, s, d = x.shape
     L = config.num_layers
     schedule = pcfg.keep_schedule or tuple(
@@ -573,7 +655,7 @@ def progressive_topk_forward(
             )(x, seg, None)
         for j in range(l0, l1):
             x = vit_layer(x, _layer_slice(backbone["layers"], j), config,
-                          use_pallas=use_pallas)
+                          use_pallas=use_pallas, quant=quant)
         return x
 
     seg_start = 0
@@ -583,9 +665,8 @@ def progressive_topk_forward(
         if k_i and k_i < cur - 1 and _is_active(pcfg, i):
             x = run_segment(x, seg_start, i)
             seg_start = i
-            scores, _ = apply_predictor(
-                pred, i, x, config, pcfg, layer_params=lp
-            )  # [B, cur-1]
+            x, scores, cidx = progressive_drop(x, pred, i, k_i, config, pcfg,
+                                               layer_params=lp)
             # report scores at original patch positions (dropped = -inf)
             patch_orig = orig[:, 1:] - 1  # [B, cur-1] original patch indices
             full_scores = jnp.full((b, s - 1), -jnp.inf, scores.dtype)
@@ -593,14 +674,6 @@ def progressive_topk_forward(
                 full_scores, patch_orig, scores
             )
             scores_l.append(full_scores)
-            # fast compaction: CLS + the sorted top-k patch indices directly
-            # (equivalent to compact_indices over the thresholded mask, but
-            # sorts [B, k] instead of argsorting the full [B, S])
-            _, kidx = jax.lax.top_k(scores, k_i)
-            cidx = jnp.concatenate(
-                [jnp.zeros((b, 1), jnp.int32),
-                 jnp.sort(kidx.astype(jnp.int32), axis=-1) + 1], axis=1)
-            x = gather_compact(x, cidx)
             orig = jnp.take_along_axis(orig, cidx, axis=1)
             cur = k_i + 1
         else:
@@ -608,12 +681,30 @@ def progressive_topk_forward(
         live = jnp.zeros((b, s), bool)
         live = jax.vmap(lambda m, o: m.at[o].set(True))(live, orig)
         masks.append(live)
+    if logits_only and use_pallas and quant != "int8":
+        # CLS-epilogue fusion: run to the LAST layer's input, then one kernel
+        # computes last layer (CLS-only Q/attn/MLP, full K/V) + final-LN +
+        # classifier. int8 serving keeps the unfused tail (its megakernel
+        # family has no CLS variant yet).
+        from vit_pruning_tpu.ops.pallas.layer import fused_vit_layer_cls_logits
+
+        x = run_segment(x, seg_start, L - 1)
+        logits = fused_vit_layer_cls_logits(
+            x, _layer_slice(backbone["layers"], L - 1),
+            backbone["ln_f"], backbone["head"],
+            config.num_heads, eps=config.layernorm_eps,
+        )
+        return {
+            "logits": logits,
+            "keep_masks": jnp.stack(masks),
+            "scores": jnp.stack(scores_l),
+        }
     x = run_segment(x, seg_start, L)
 
     x = layer_norm(x, backbone["ln_f"], config.layernorm_eps)
     cls = x[:, 0]
     logits = cls @ backbone["head"]["w"] + backbone["head"]["b"]
-    return {
+    out = {
         "logits": logits,
         "cls": cls,
         # compacted final hidden states [B, live, D] (live tokens only; use
@@ -622,3 +713,7 @@ def progressive_topk_forward(
         "keep_masks": jnp.stack(masks),
         "scores": jnp.stack(scores_l),
     }
+    if logits_only:
+        out.pop("cls")
+        out.pop("last_hidden")
+    return out

@@ -68,6 +68,7 @@ def vit_layer(
     head_mask: Optional[jnp.ndarray] = None,
     return_probs: bool = False,
     use_pallas: bool = False,
+    quant: Optional[str] = None,
 ):
     """One pre-LN transformer block (HF ViTLayer ordering).
 
@@ -75,10 +76,17 @@ def vit_layer(
     the static-shape equivalent of running the layer on the gathered subset
     (himanshu/model_utils.py:91). Outputs at masked positions are computed
     but meaningless; callers overwrite them with the residual passthrough.
+
+    quant: 'none' | 'int8' | None. None reads the module-global serving-quant
+    mode AT TRACE TIME (see ops/dispatch.set_serving_quant); entry points
+    that build persistent jitted callables must resolve and pass it
+    explicitly so mode changes retrace.
     """
     from vit_pruning_tpu.ops.dispatch import attention_kernel_enabled, serving_quant
 
-    quant = serving_quant() == "int8" and head_mask is None and not return_probs
+    if quant is None:
+        quant = serving_quant()
+    quant = quant == "int8" and head_mask is None and not return_probs
     if use_pallas and head_mask is None and not return_probs:
         if quant:
             # int8 serving megakernel (ops/pallas/layer_int8.py). Weight
@@ -156,17 +164,23 @@ def vit_forward(
     head_mask: Optional[jnp.ndarray] = None,
     output_hidden_states: bool = False,
     use_pallas: Optional[bool] = None,
+    quant: Optional[str] = None,
 ):
     """Dense forward. Returns dict(logits, cls, last_hidden[, hidden_states]).
 
     head_mask: [L, H] float or None (HF get_head_mask semantics,
     himanshu/model_utils.py:220).
     use_pallas: None = auto (Pallas TPU kernels for inference on TPU).
+    quant: serving quantization mode; None = read the global at trace time.
     """
     if use_pallas is None:
         from vit_pruning_tpu.ops.dispatch import use_pallas as _resolve
 
         use_pallas = _resolve()
+    if quant is None:
+        from vit_pruning_tpu.ops.dispatch import serving_quant
+
+        quant = serving_quant()
     x = embed(pixel_values, params["embed"], config)
 
     hidden_states = [x] if output_hidden_states else None
@@ -175,7 +189,7 @@ def vit_forward(
         for i in range(config.num_layers):
             hm = head_mask[i] if head_mask is not None else None
             x = vit_layer(x, _layer_slice(params["layers"], i), config, head_mask=hm,
-                          use_pallas=use_pallas)
+                          use_pallas=use_pallas, quant=quant)
             if output_hidden_states:
                 hidden_states.append(x)
     else:
@@ -197,7 +211,8 @@ def vit_forward(
             )(x, params["layers"], None)
         else:
             def body(carry, layer_params):
-                return vit_layer(carry, layer_params, config, use_pallas=use_pallas), None
+                return vit_layer(carry, layer_params, config, use_pallas=use_pallas,
+                                 quant=quant), None
 
             x, _ = jax.lax.scan(body, x, params["layers"])
 

@@ -7,8 +7,10 @@ manager:
   'xla'    — force the jnp reference path (always differentiable)
 
 The jnp implementations remain the semantics ground truth; Pallas kernels
-are validated against them in tests/test_pallas.py. The training path uses
-XLA (kernels currently define no custom VJP).
+are validated against them in tests/test_pallas.py. Training runs the fused
+layer via `differentiable_fused_layer` (ops/pallas/layer.py — @jax.custom_vjp
+whose backward recomputes through the jnp reference; grad parity in
+tests/test_pallas.py); ops without a custom VJP fall back to XLA.
 """
 
 from __future__ import annotations
@@ -93,8 +95,19 @@ _QUANT = "none"
 def set_serving_quant(mode: str):
     """Serving quantization: 'none' (bf16/f32) or 'int8' (dynamic-activation
     int8 weight matmuls — ops/quant.py scheme). Applies to inference layer
-    calls (Pallas int8 megakernel on TPU, jnp int8 reference on XLA); the
-    training path ignores it (int8 matmuls define no VJP)."""
+    calls (Pallas int8 megakernel on TPU, jnp int8 reference on XLA). The
+    training path (pruned_vit_forward with train/compute_oracle) forces
+    quant off — int8 matmuls have no useful gradient (round/clip are
+    zero-derivative), so training always runs unquantized.
+
+    TRACING: this global is read when a function is TRACED, not when it is
+    called. Library entry points thread the mode as an explicit traced
+    argument (vit_layer/vit_forward/pruned_vit_forward `quant=`, and
+    ModifiedViTModel re-reads it per call), so mode changes retrace
+    correctly. A user-owned `jax.jit` closure that calls these with
+    quant=None bakes in whichever mode was active at first trace — pass
+    `quant=serving_quant()` explicitly (or use quant_mode around the FIRST
+    call only) for persistent jitted callables."""
     global _QUANT
     if mode not in ("none", "int8"):
         raise ValueError(f"serving quant {mode!r} not in ('none', 'int8')")

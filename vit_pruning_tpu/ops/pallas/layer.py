@@ -394,3 +394,178 @@ def fused_vit_layer(
         ),
     )(*args)
     return out[:, :s]
+
+
+# --- Last-layer CLS epilogue fusion (VERDICT r2 #5) --------------------------
+#
+# The serving path's classifier consumes ONLY the CLS token, so the last
+# encoder layer's per-token work is mostly dead: K/V projections need every
+# token (CLS attends over them), but Q/attention/O-proj/MLP matter for the
+# CLS row alone, and the final layernorm + classifier head can ride the same
+# kernel. This folds the last layer + final-LN + head into one launch that
+# emits logits directly — removing the full-sequence MLP of the last layer
+# (~60% of its FLOPs), the separate final-LN/classifier dispatches, and the
+# last layer's [B, S, D] output round trip to HBM.
+#
+# Mathematically identical to vit_layer -> layer_norm -> head[CLS] (CLS
+# attention still sees the full K/V set); parity-tested in tests/test_pallas.py.
+
+def _cls_head_kernel(
+    x_ref,
+    ln1g_ref, ln1b_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wo_ref, bo_ref,
+    ln2g_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    lnfg_ref, lnfb_ref, wh_ref, bh_ref,
+    o_ref,
+    ctx_ref,  # scratch [BT, KW] f32
+    *, bt: int, s: int, s_real: int, h: int, hd: int, d: int, eps: float,
+    scale: float,
+):
+    kw = h * hd
+    x = x_ref[:].reshape(bt * s, d).astype(jnp.float32)
+
+    # LN1 everywhere (K/V need every token); Q only for the CLS rows
+    h1 = _layer_norm_f32(
+        x, ln1g_ref[:].astype(jnp.float32), ln1b_ref[:].astype(jnp.float32), eps
+    )
+    kv = jnp.dot(
+        h1.astype(wkv_ref.dtype), wkv_ref[:], preferred_element_type=jnp.float32
+    ) + bkv_ref[:].astype(jnp.float32)  # [BT*S, 2KW]
+    kv = kv.astype(x_ref.dtype)
+    h1_cls = h1.reshape(bt, s, d)[:, 0, :]  # [BT, D]
+    q_cls = (
+        jnp.dot(h1_cls.astype(wq_ref.dtype), wq_ref[:],
+                preferred_element_type=jnp.float32)
+        + bq_ref[:].astype(jnp.float32)
+    ).astype(x_ref.dtype)  # [BT, KW]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    key_ok = col < s_real
+    for b in range(bt):
+        k_b = kv[b * s:(b + 1) * s, :kw]
+        v_b = kv[b * s:(b + 1) * s, kw:2 * kw]
+        for head in range(h):
+            q = q_cls[b:b + 1, head * hd:(head + 1) * hd]       # [1, hd]
+            k = k_b[:, head * hd:(head + 1) * hd]               # [S, hd]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                           # [1, S]
+            logits = jnp.where(key_ok, logits, NEG_INF)
+            p = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(kv.dtype)
+            v = v_b[:, head * hd:(head + 1) * hd]               # [S, hd]
+            ctx_ref[b:b + 1, pl.ds(head * hd, hd)] = jnp.dot(
+                p, v, preferred_element_type=jnp.float32
+            )
+
+    attn = jnp.dot(
+        ctx_ref[:].astype(wo_ref.dtype), wo_ref[:],
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[:].astype(jnp.float32)                            # [BT, D]
+    x1 = x.reshape(bt, s, d)[:, 0, :] + attn
+
+    h2 = _layer_norm_f32(
+        x1, ln2g_ref[:].astype(jnp.float32), ln2b_ref[:].astype(jnp.float32), eps
+    )
+    m1 = jnp.dot(
+        h2.astype(w1_ref.dtype), w1_ref[:], preferred_element_type=jnp.float32
+    ) + b1_ref[:].astype(jnp.float32)
+    gelu = _gelu_tanh if x_ref.dtype == jnp.bfloat16 else _gelu
+    m1 = gelu(m1).astype(w2_ref.dtype)
+    x2 = x1 + jnp.dot(m1, w2_ref[:], preferred_element_type=jnp.float32) \
+        + b2_ref[:].astype(jnp.float32)
+
+    yn = _layer_norm_f32(
+        x2, lnfg_ref[:].astype(jnp.float32), lnfb_ref[:].astype(jnp.float32), eps
+    )
+    o_ref[:] = (
+        jnp.dot(yn.astype(wh_ref.dtype), wh_ref[:],
+                preferred_element_type=jnp.float32)
+        + bh_ref[:].astype(jnp.float32)
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "eps", "block_b", "interpret")
+)
+def fused_vit_layer_cls_logits(
+    x: jnp.ndarray,
+    params: dict,
+    lnf: dict,
+    head: dict,
+    num_heads: int,
+    eps: float = 1e-12,
+    block_b: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Last encoder layer + final layernorm + classifier, CLS-only, fused.
+
+    x: [B, S, D] (the last layer's input); params: that layer's dict;
+    lnf/head: the model's 'ln_f' and 'head' trees. Returns logits
+    [B, num_labels] == vit_layer(x) |> layer_norm |> head on CLS.
+    """
+    b, s, d = x.shape
+    kv_width = params["attn"]["q"]["w"].shape[1]
+    hd = kv_width // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    labels = head["w"].shape[1]
+    if block_b == 0:
+        block_b = 8
+    bt = min(block_b, b)
+    while b % bt:
+        bt -= 1
+
+    s_pad = _round_up(s, 8)
+    if s_pad != s:
+        x = jnp.pad(x, [(0, 0), (0, s_pad - s), (0, 0)])
+
+    a = params["attn"]
+    wkv = jnp.concatenate([a["k"]["w"], a["v"]["w"]], axis=1)
+    bkv = jnp.concatenate([a["k"]["b"], a["v"]["b"]]).reshape(1, 2 * kv_width)
+    m = params["mlp"]["fc1"]["w"].shape[1]
+
+    def vec(t, n):
+        return t.reshape(1, n)
+
+    weights = [
+        vec(params["ln1"]["g"], d), vec(params["ln1"]["b"], d),
+        a["q"]["w"], vec(a["q"]["b"], kv_width),
+        wkv, bkv,
+        a["o"]["w"], vec(a["o"]["b"], d),
+        vec(params["ln2"]["g"], d), vec(params["ln2"]["b"], d),
+        params["mlp"]["fc1"]["w"], vec(params["mlp"]["fc1"]["b"], m),
+        params["mlp"]["fc2"]["w"], vec(params["mlp"]["fc2"]["b"], d),
+        vec(lnf["g"], d), vec(lnf["b"], d),
+        head["w"], vec(head["b"], labels),
+    ]
+    w_specs = [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _cls_head_kernel, bt=bt, s=s_pad, s_real=s, h=num_heads, hd=hd,
+            d=d, eps=eps, scale=scale,
+        ),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, s_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ] + w_specs,
+        out_specs=pl.BlockSpec((bt, labels), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, labels), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bt, kv_width), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s_pad * d * 2 * kv_width
+            + 2 * b * (d * kv_width + kv_width * d + 2 * d * m + d * labels)
+            + 4 * b * num_heads * s_pad * hd,
+            bytes_accessed=(b * s_pad * d + 4 * d * d + 2 * d * m
+                            + d * labels) * x.dtype.itemsize,
+            transcendentals=b * (m + num_heads * s_pad),
+        ),
+    )(x, *weights)
+    return out

@@ -138,3 +138,149 @@ def pipeline_forward(
     # classifier tail matches models/vit.py::vit_forward (the ground truth)
     h = layer_norm(h, params["ln_f"], config.layernorm_eps)
     return h[:, 0] @ params["head"]["w"] + params["head"]["b"]
+
+
+def pruned_pipeline_forward(
+    params: dict,
+    pixel_values: jnp.ndarray,
+    config: ViTConfig,
+    pcfg,
+    mesh: Mesh,
+    num_microbatches: int = 4,
+) -> jnp.ndarray:
+    """topk_prog serving forward with encoder layers pipelined over
+    mesh('stage') — the pruned counterpart of `pipeline_forward` (VERDICT r2
+    #7: pipeline the progressive-compaction path).
+
+    The progressive schedule shrinks the sequence at drop layers
+    (models/pruned_vit.py::progressive_topk_forward), so different stages run
+    at different static sequence lengths. SPMD needs one program for all
+    devices, so each stage's computation (its drops + its layers, at its own
+    static lengths) is one branch of a `lax.switch` selected by
+    `lax.axis_index('stage')` — every branch is statically shaped, each
+    device executes only its own, and the inter-stage hop buffer is padded to
+    the full sequence length (the padding costs HBM copies, not layer FLOPs;
+    each stage computes at its true compacted length).
+
+    Drops may fall anywhere (stage boundaries need NOT align with
+    keep_schedule compaction points — a mid-stage drop is static within that
+    stage's branch). Selection semantics are shared with the single-chip path
+    via `progressive_drop`. Layer weights and per-layer (stacked) predictor
+    heads are sharded over 'stage' on their leading [L] axis; shared
+    predictor parts replicate. Composes with data parallelism over a
+    ('stage','data') mesh exactly like `pipeline_forward`.
+
+    Returns logits [B, num_labels].
+    """
+    from vit_pruning_tpu.models.pruned_vit import (
+        _is_active,
+        progressive_drop,
+    )
+    from vit_pruning_tpu.models.vit import _layer_slice as _slice
+
+    if pcfg.mode != "topk_prog":
+        raise ValueError(f"pruned pipeline serves mode='topk_prog', got {pcfg.mode!r}")
+    stages = mesh.shape["stage"]
+    L = config.num_layers
+    if L % stages:
+        raise ValueError(f"{L} layers do not split into {stages} equal stages")
+    per_stage = L // stages
+    b = pixel_values.shape[0]
+    if b % num_microbatches:
+        raise ValueError(f"batch {b} not divisible by {num_microbatches} microbatches")
+    mb = b // num_microbatches
+
+    backbone = params["backbone"]
+    pred = params.get("predictor")
+
+    x = embed(pixel_values, backbone["embed"], config)  # [B, S, D] replicated
+    s_len, d = x.shape[1], x.shape[2]
+    mbs = x.reshape(num_microbatches, mb, s_len, d)
+
+    # static drop pattern — the exact decision loop of progressive_topk_forward
+    schedule = pcfg.keep_schedule or tuple([pcfg.top_k] + [0] * (L - 1))
+    schedule = tuple(min(k, s_len - 1) if k else 0 for k in schedule)
+    drop_at, in_len = [], []   # in_len[g] = live length entering layer g
+    cur = s_len
+    for g in range(L):
+        in_len.append(cur)
+        k_g = schedule[g]
+        dg = bool(k_g) and (k_g < cur - 1) and _is_active(pcfg, g)
+        drop_at.append(dg)
+        if dg:
+            cur = k_g + 1
+    final_len = cur
+    stage_in = [in_len[s * per_stage] for s in range(stages)]
+
+    has_data = "data" in mesh.axis_names
+    mb_spec = P(None, "data") if has_data else P()
+    # stacked per-layer leaves ([L, ...]) shard over 'stage'; shared leaves
+    # (e.g. common_mlp's one MLP) replicate
+    layers_spec = jax.tree.map(lambda _: P("stage"), backbone["layers"])
+    pred_spec = jax.tree.map(
+        lambda a: P("stage") if (hasattr(a, "ndim") and a.ndim >= 1
+                                 and a.shape[0] == L) else P(),
+        pred,
+    )
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(layers_spec, pred_spec, mb_spec),
+        out_specs=mb_spec,
+    )
+    def run(local_layers, local_pred, mbs):
+        mb_local = mbs.shape[1]
+        stage = jax.lax.axis_index("stage")
+        M = num_microbatches
+        T = M + stages - 1
+        fwd = [(i, (i + 1) % stages) for i in range(stages)]
+
+        def make_branch(s):
+            l0 = s * per_stage
+
+            def br(x_pad):
+                x = x_pad[:, : stage_in[s]]
+                for j in range(per_stage):
+                    g = l0 + j
+                    lp = _slice(local_layers, j)
+                    if drop_at[g]:
+                        x, _, _ = progressive_drop(
+                            x, local_pred, j, schedule[g], config, pcfg,
+                            layer_params=lp,
+                        )
+                    x = vit_layer(x, lp, config)
+                return jnp.pad(x, ((0, 0), (0, s_len - x.shape[1]), (0, 0)))
+
+            return br
+
+        branches = [make_branch(s) for s in range(stages)]
+
+        def stage_compute(x):
+            return jax.lax.switch(stage, branches, x)
+
+        def step(t, carry):
+            buf, out = carry
+            inject = jax.lax.dynamic_index_in_dim(
+                mbs, jnp.clip(t, 0, M - 1), axis=0, keepdims=False)
+            x = jnp.where(stage == 0, inject, buf)
+            y = stage_compute(x)
+            done_idx = jnp.clip(t - (stages - 1), 0, M - 1)
+            valid = (t >= stages - 1) & (stage == stages - 1)
+            cur_out = jax.lax.dynamic_index_in_dim(out, done_idx, axis=0, keepdims=False)
+            out = jax.lax.dynamic_update_index_in_dim(
+                out, jnp.where(valid, y, cur_out), done_idx, axis=0)
+            buf = jax.lax.ppermute(y, "stage", fwd)
+            return buf, out
+
+        buf0 = jax.lax.pcast(jnp.zeros((mb_local, s_len, d), mbs.dtype),
+                             tuple(mesh.axis_names), to="varying")
+        out0 = jax.lax.pcast(jnp.zeros_like(mbs), ("stage",), to="varying")
+        _, out = jax.lax.fori_loop(0, T, step, (buf0, out0))
+        return jax.lax.psum(
+            jnp.where(stage == stages - 1, out, jnp.zeros_like(out)), "stage"
+        )
+
+    out = run(backbone["layers"], pred, mbs)  # [M, mb, S(padded), D]
+    h = out.reshape(b, s_len, d)[:, :final_len]
+    h = layer_norm(h, backbone["ln_f"], config.layernorm_eps)
+    return h[:, 0] @ backbone["head"]["w"] + backbone["head"]["b"]

@@ -25,13 +25,23 @@ def serving_forward(
     config: ViTConfig,
     pcfg: PruneConfig,
     use_pallas: Optional[bool] = None,
+    quant: Optional[str] = None,
+    logits_only: bool = True,
     interpret: bool = False,
 ):
     """pixels_u8: [B, C, H, W] uint8 (0..255). Returns the progressive
-    forward's output dict (logits, cls, keep_masks, scores)."""
+    forward's output dict (logits, keep_masks, scores; + cls/last_hidden
+    when logits_only=False).
+
+    logits_only=True (default — this IS the deployment entry) additionally
+    fuses the last layer + final-LN + classifier into a CLS-only kernel on
+    the Pallas path (ops/pallas/layer.py).
+    quant: serving quantization mode ('none'/'int8'); None reads the
+    dispatch global at trace time."""
     if pixels_u8.dtype != jnp.uint8:
         raise ValueError(f"serving_forward expects uint8 pixels, got {pixels_u8.dtype}")
     x0 = embed_u8(pixels_u8, params["backbone"]["embed"], config, interpret=interpret)
     return progressive_topk_forward(
-        params, None, config, pcfg, use_pallas=use_pallas, x0=x0
+        params, None, config, pcfg, use_pallas=use_pallas, quant=quant, x0=x0,
+        logits_only=logits_only,
     )

@@ -200,11 +200,16 @@ def train(
     compute_dtype=None,
     remat: bool = False,
     distill=None,
+    per_layer_lr_scales=None,
 ) -> dict:
     """One training phase (main_model_utils.py:100-191). Returns params.
 
     distill: optional (teacher_params, teacher_config, weight, temperature)
     forwarded to the train step (see total_loss_fn).
+
+    per_layer_lr_scales: optional [num_layers] multipliers — M19's
+    per-predictor optimizers (mukunda/deit.py:131-156): predictor-only
+    phases use per_predictor_adam with one effective lr per layer's head.
 
     loss_type 'alternate' switches mlp/vit phases on epoch % 3
     (main_model_utils.py:125-129).
@@ -224,7 +229,13 @@ def train(
     rng = jax.random.PRNGKey(seed)
 
     def build(loss_t, policy=None):
-        opt = masked_adam(params, policy or policy_for_loss_type(loss_t), lr)
+        pol = policy or policy_for_loss_type(loss_t)
+        if per_layer_lr_scales is not None and pol == "mlp_train":
+            from vit_pruning_tpu.train.freeze import per_predictor_adam
+
+            opt = per_predictor_adam(params, lr, per_layer_lr_scales, policy=pol)
+        else:
+            opt = masked_adam(params, pol, lr)
         return opt, make_train_step(config, pcfg, loss_t, opt,
                                     compute_dtype=compute_dtype, remat=remat,
                                     distill=distill)
@@ -328,10 +339,12 @@ def phased_train(
     best: Optional[BestCheckpoint] = None,
     full_testing: bool = True,
     compute_dtype=None,
+    per_layer_lr_scales=None,
 ) -> dict:
     """The hi_main.py:161-168 two-phase schedule. compute_dtype=jnp.bfloat16
     runs forward/backward in bf16 with fp32 master params (~6.5x faster
-    predictor phase on v5e)."""
+    predictor phase on v5e). per_layer_lr_scales applies M19's per-predictor
+    learning rates to the predictor phase (see train())."""
     log = log or (lambda s: None)
     acc0 = evaluate(params, test_batches, config, pcfg, full_testing=full_testing, log=log)
     log(f"Test accuracy at starting: {acc0[:2]}")
@@ -342,6 +355,7 @@ def phased_train(
             num_epochs=num_epochs[0], loss_type=loss_types[0], lr=lrs[0],
             log=log, best=best, full_testing=full_testing,
             compute_dtype=compute_dtype,
+            per_layer_lr_scales=per_layer_lr_scales,
         )
     if train_type in ("vit", "both"):
         params = train(

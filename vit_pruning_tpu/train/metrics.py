@@ -110,11 +110,26 @@ class EvalAccumulator:
             rows.append("   ".join(cells))
         return "\n".join(rows)
 
+    def class_table(self) -> str:
+        """M19 per-class ('skip'/'keep' recall) accuracy table
+        (mukunda/deit.py:183-229 class_0_acc/class_1_acc)."""
+        import pandas as pd
+
+        ca = self.class_accuracy_per_layer * 100
+        df = pd.DataFrame(
+            [ca[:, 0], ca[:, 1]],
+            index=["Skip-class acc", "Keep-class acc"],
+            columns=[f"L {i}" for i in range(self.num_layers)],
+        ).round(1)
+        return df.to_string()
+
     def report(self) -> str:
         return (
             f"Skip %: {self.oracle_skip_per_layer.mean():.2%}\n"
             f"Overall accuracy of MLP: {self.mlp_accuracy:.2%}\n"
             + self.layer_table()
+            + "\n\nPer-class predictor accuracy (M19):\n"
+            + self.class_table()
             + "\n\nConfusion matrix for each layer:\n\n"
             + self.confusion_table()
             + f"\nOverall accuracy: {self.accuracy:.2%}\n"
