@@ -112,8 +112,14 @@ def bucketed_masked_layer(
     config: ViTConfig,
     use_pallas: bool = False,
     quant: str = "none",
+    cap_hint: Optional[int] = None,
 ) -> jnp.ndarray:
     """Mask-mode layer with REAL compute savings (SURVEY §7 hard part (b)).
+
+    cap_hint: a statically-known upper bound on per-image kept counts (e.g.
+    mask_budget+1 / the random budget+1) added to the capacity ladder, so
+    capped configs run at their EXACT capacity instead of the next 24-step
+    rung (99 vs 104 at the 50% headline budget).
 
     Exact mask semantics (each kept token attends over exactly the kept-key
     set, reference himanshu/model_utils.py:88-91) but instead of running all
@@ -142,6 +148,8 @@ def bucketed_masked_layer(
     skip_rank = counts[:, None] + jnp.cumsum(1 - kept, axis=-1) - 1
     dest = jnp.where(mask, kept_rank, skip_rank)  # [B, S] compacted row ids
     caps = _bucket_caps(s)
+    if cap_hint is not None and cap_hint < s:
+        caps = tuple(sorted(set(caps) | {cap_hint}))
 
     def make_branch(cap):
         if cap == s:
@@ -270,8 +278,11 @@ def pruned_layer_forward(
         elif not need_oracle:
             # serving: bucketed compaction — same kept-key attention set,
             # but the executed shape tracks the batch's actual mask density
+            # (capped configs run at exactly budget+1)
+            hint = pcfg.mask_budget + 1 if pcfg.mask_budget is not None else None
             y = bucketed_masked_layer(x, layer_params, mask, config,
-                                      use_pallas=use_pallas, quant=quant)
+                                      use_pallas=use_pallas, quant=quant,
+                                      cap_hint=hint)
             out = jnp.where(mask[..., None], y, _passthrough(x, extras, mask))
         else:
             y = vit_layer(x, layer_params, config, token_mask=mask,
@@ -285,7 +296,8 @@ def pruned_layer_forward(
             # XLA's dynamic gather/scatter costs ~2 ms/layer at these shapes
             # (measured: gather/scatter form 12.7k img/s vs 14.2k bucketed)
             y = bucketed_masked_layer(x, layer_params, mask, config,
-                                      use_pallas=use_pallas, quant=quant)
+                                      use_pallas=use_pallas, quant=quant,
+                                      cap_hint=pcfg.top_k + 1)
             out = jnp.where(mask[..., None], y, _passthrough(x, extras, mask))
         else:
             # CLS + sorted top-k patch indices == compact_indices(mask, k+1)
@@ -311,10 +323,11 @@ def pruned_layer_forward(
         keep = random_keep_mask(jax.random.fold_in(rng, layer_idx), b, n, budget)
         mask = add_cls_keep(keep)
         if not need_oracle:
-            # fixed per-image budget => the bucket ladder sits tight over
-            # budget+1: mask-mode execution cost at the exact skip rate
+            # fixed per-image budget => the bucket runs at exactly budget+1:
+            # mask-mode execution cost at the exact skip rate
             y = bucketed_masked_layer(x, layer_params, mask, config,
-                                      use_pallas=use_pallas, quant=quant)
+                                      use_pallas=use_pallas, quant=quant,
+                                      cap_hint=budget + 1)
         else:
             y = vit_layer(x, layer_params, config, token_mask=mask,
                           use_pallas=use_pallas, quant=quant)
@@ -551,7 +564,7 @@ def progressive_drop(
 
     Returns (x_compacted [B, k+1, D], scores [B, cur-1], cidx [B, k+1]).
     """
-    b = x.shape[0]
+    b, s_cur, _ = x.shape
     scores, _ = apply_predictor(
         pred_params, layer_idx, x, config, pcfg, layer_params=layer_params
     )
@@ -562,7 +575,16 @@ def progressive_drop(
     cidx = jnp.concatenate(
         [jnp.zeros((b, 1), jnp.int32),
          jnp.sort(kidx.astype(jnp.int32), axis=-1) + 1], axis=1)
-    return gather_compact(x, cidx), scores, cidx
+    # gather as a one-hot batched matmul on the MXU instead of XLA's dynamic
+    # gather (the bucketed_masked_layer lesson: row selection as P @ x is
+    # exact — each P row has a single 1 — and several times cheaper at these
+    # shapes than take_along_axis)
+    P = (
+        cidx[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, 1, s_cur), 2)
+    ).astype(x.dtype)  # [B, k+1, S]
+    xc = jnp.einsum("brt,btd->brd", P, x)
+    return xc, scores, cidx
 
 
 def progressive_topk_forward(
@@ -609,14 +631,12 @@ def progressive_topk_forward(
     backbone = params["backbone"]
     pred = params.get("predictor")
 
-    if x0 is not None:
-        x = x0
-    elif logits_only and use_pallas:
-        from vit_pruning_tpu.ops.pallas.embed import embed_fused
-
-        x = embed_fused(pixel_values, backbone["embed"], config)
-    else:
-        x = embed(pixel_values, backbone["embed"], config)
+    # NOTE: a fused float-embed Pallas kernel was measured 4x SLOWER than
+    # this XLA path (5.55 vs 1.40 ms/batch-512 DeiT-S, r3 ablation): XLA
+    # fuses patch-transpose + projection + pos-add without materializing the
+    # [B, N, C*P*P] patch tensor, which a pallas_call input forces. Kept as
+    # ops/pallas/embed.py::embed_fused for the record; not used.
+    x = x0 if x0 is not None else embed(pixel_values, backbone["embed"], config)
     b, s, d = x.shape
     L = config.num_layers
     schedule = pcfg.keep_schedule or tuple(
@@ -681,11 +701,14 @@ def progressive_topk_forward(
         live = jnp.zeros((b, s), bool)
         live = jax.vmap(lambda m, o: m.at[o].set(True))(live, orig)
         masks.append(live)
-    if logits_only and use_pallas and quant != "int8":
+    if logits_only and use_pallas:
         # CLS-epilogue fusion: run to the LAST layer's input, then one kernel
         # computes last layer (CLS-only Q/attn/MLP, full K/V) + final-LN +
-        # classifier. int8 serving keeps the unfused tail (its megakernel
-        # family has no CLS variant yet).
+        # classifier. Under int8 serving the preceding layers stay int8 and
+        # this tail runs in the weights' float dtype — quantizing a layer
+        # whose Q/attention/MLP touch one row saves nothing (int8's gain is
+        # 6-12% of a FULL layer), and the K/V projection difference is within
+        # the int8 path's own quantization error.
         from vit_pruning_tpu.ops.pallas.layer import fused_vit_layer_cls_logits
 
         x = run_segment(x, seg_start, L - 1)

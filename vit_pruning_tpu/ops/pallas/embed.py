@@ -114,11 +114,15 @@ def fused_patch_embed_f(
     block_t: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Float-input variant of fused_patch_embed_u8 (VERDICT r2 #5): the
-    pixels are already preprocessed, so the normalization affine is identity
-    and the kernel fuses projection + bias + per-patch position add in one
-    pass over the patch tensor (XLA's per-op path round-trips the [B*N, D]
-    projection to HBM before the pos add)."""
+    """Float-input variant of fused_patch_embed_u8. MEASURED NEGATIVE
+    RESULT (r3, B=512 DeiT-S bf16): 5.55 ms vs 1.40 ms for the plain XLA
+    embed — XLA fuses patch-transpose + projection + pos-add into the matmul
+    without ever materializing the [B, N, C*P*P] patch tensor or the
+    broadcast position rows, both of which a pallas_call input forces into
+    HBM. Kept for the record and for the u8 path's structure; the float
+    serving path uses models.vit.embed (see pruned_vit.progressive_topk_forward).
+    The u8 variant still wins on its own terms: its input is 4x smaller and
+    the normalize-affine prevents the XLA conv fusion."""
     bsz, n, pd = patches.shape
     d = w.shape[1]
     t = bsz * n
