@@ -75,6 +75,27 @@ def main():
                                            eps=cfg.layernorm_eps)
         ok &= check(f"cls_logits S={s}", got_l, ref_l, tol=2e-2)
 
+        # fused bucketed mask-mode layer (r3): gather+layer+scatter in VMEM
+        from vit_pruning_tpu.ops.pallas.layer import fused_vit_layer_bucketed
+
+        kept_i = mask.astype(jnp.int32)
+        counts = kept_i.sum(-1)
+        kept_rank = jnp.cumsum(kept_i, axis=-1) - 1
+        skip_rank = counts[:, None] + jnp.cumsum(1 - kept_i, axis=-1) - 1
+        dest = jnp.where(mask, kept_rank, skip_rank)
+        capb = int(np.asarray(counts).max())
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, capb, 1), 1)
+        P = (dest[:, None, :] == rows).astype(jnp.float32)
+        xc = jnp.einsum("brt,btd->brd", P, x.astype(jnp.float32))
+        key_ok = jax.lax.broadcasted_iota(jnp.int32, (16, capb), 1) < counts[:, None]
+        yc = vit_layer(xc, jax.tree.map(lambda a: a.astype(jnp.float32), lp),
+                       cfg, token_mask=key_ok)
+        yb = jnp.einsum("brt,brd->btd", P, yc)
+        refb = jnp.where(mask[..., None], yb, x.astype(jnp.float32))
+        gotb = fused_vit_layer_bucketed(x, lp, dest, mask, capb, cfg.num_heads,
+                                        eps=cfg.layernorm_eps)
+        ok &= check(f"bucketed S={s} cap={capb}", gotb, refb, tol=2e-2)
+
     # float fused embed (r3)
     from vit_pruning_tpu.models.vit import embed
     from vit_pruning_tpu.ops.pallas.embed import embed_fused

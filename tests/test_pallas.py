@@ -350,3 +350,41 @@ def test_progressive_logits_only_matches_full_output():
     assert "last_hidden" not in fast and "cls" not in fast
     np.testing.assert_array_equal(np.asarray(fast["keep_masks"]),
                                   np.asarray(full["keep_masks"]))
+
+
+def test_fused_bucketed_layer_matches_unfused():
+    """fused_vit_layer_bucketed == one-hot gather -> masked vit_layer ->
+    masked scatter + identity passthrough (the bucketed_masked_layer branch),
+    at kept AND skipped positions."""
+    from vit_pruning_tpu.configs import vit_tiny
+    from vit_pruning_tpu.models.vit import init_vit_params, vit_layer
+    from vit_pruning_tpu.ops.pallas.layer import fused_vit_layer_bucketed
+
+    cfg = vit_tiny()
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    b, s = 4, cfg.seq_len  # 17
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, s, cfg.hidden_size))
+    mask = jax.random.uniform(jax.random.PRNGKey(2), (b, s)) > 0.5
+    mask = mask.at[:, 0].set(True)
+    cap = int(np.asarray(mask.sum(-1)).max())
+
+    kept = mask.astype(jnp.int32)
+    counts = kept.sum(-1)
+    kept_rank = jnp.cumsum(kept, axis=-1) - 1
+    skip_rank = counts[:, None] + jnp.cumsum(1 - kept, axis=-1) - 1
+    dest = jnp.where(mask, kept_rank, skip_rank)
+
+    # unfused reference at the same capacity
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1)
+    P = (dest[:, None, :] == rows).astype(x.dtype)
+    xc = jnp.einsum("brt,btd->brd", P, x)
+    key_ok = jax.lax.broadcasted_iota(jnp.int32, (b, cap), 1) < counts[:, None]
+    yc = vit_layer(xc, lp, cfg, token_mask=key_ok, use_pallas=False, quant="none")
+    y = jnp.einsum("brt,brd->btd", P, yc)
+    ref = jnp.where(mask[..., None], y, x)
+
+    got = fused_vit_layer_bucketed(x, lp, dest, mask, cap, cfg.num_heads,
+                                   eps=cfg.layernorm_eps, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)

@@ -284,3 +284,24 @@ def test_channel_importance_ranks_zeroed_channels_last():
     assert imp.shape == (CFG.num_layers, CFG.mlp_dim)
     assert (imp[:, dead] == 0.0).all()
     assert (imp[:, dead] <= imp.min(axis=1)).all()
+
+
+def test_bucketed_cap_hint_matches_unhinted():
+    """cap_hint only tightens the executed capacity — numerics unchanged."""
+    from vit_pruning_tpu.models.pruned_vit import bucketed_masked_layer
+    from vit_pruning_tpu.models.vit import init_vit_params
+
+    cfg = CFG
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    s = cfg.seq_len
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, s, cfg.hidden_size))
+    keep = jax.random.uniform(jax.random.PRNGKey(2), (4, s)) > 0.5
+    keep = keep.at[:, 0].set(True)
+    # bound kept counts so a tight hint is legal
+    maxc = int(np.asarray(keep.sum(-1)).max())
+    base = bucketed_masked_layer(x, lp, keep, cfg)
+    hinted = bucketed_masked_layer(x, lp, keep, cfg, cap_hint=maxc)
+    m = np.asarray(keep)[..., None]
+    np.testing.assert_allclose(np.asarray(base) * m, np.asarray(hinted) * m,
+                               atol=1e-5)

@@ -113,6 +113,7 @@ def bucketed_masked_layer(
     use_pallas: bool = False,
     quant: str = "none",
     cap_hint: Optional[int] = None,
+    passthrough: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Mask-mode layer with REAL compute savings (SURVEY §7 hard part (b)).
 
@@ -120,6 +121,12 @@ def bucketed_masked_layer(
     mask_budget+1 / the random budget+1) added to the capacity ladder, so
     capped configs run at their EXACT capacity instead of the next 24-step
     rung (99 vs 104 at the 50% headline budget).
+
+    passthrough: value carried by SKIPPED tokens (None = identity, i.e. x).
+    The returned tensor is FINISHED — kept rows hold the layer output,
+    skipped rows hold the passthrough — so callers must not re-select. On
+    the fused-kernel path an identity passthrough is baked into the kernel's
+    scatter, skipping a ~230 MB/layer full-length select pass.
 
     Exact mask semantics (each kept token attends over exactly the kept-key
     set, reference himanshu/model_utils.py:88-91) but instead of running all
@@ -135,10 +142,6 @@ def bucketed_masked_layer(
     from two cumsums (kept ranks first, skipped ranks appended — stable
     order, no sort). Gather = P @ x; scatter-back = P^T @ y. The one-hot
     weights are exact in bf16, so numerics match the gather formulation.
-
-    Returns a full-length [B, S, D] tensor whose masked rows are garbage —
-    the same contract as `vit_layer(x, token_mask=mask)`; callers overwrite
-    masked rows with the passthrough value.
     """
     b, s, _ = x.shape
     kept = mask.astype(jnp.int32)
@@ -147,6 +150,24 @@ def bucketed_masked_layer(
     kept_rank = jnp.cumsum(kept, axis=-1) - 1
     skip_rank = counts[:, None] + jnp.cumsum(1 - kept, axis=-1) - 1
     dest = jnp.where(mask, kept_rank, skip_rank)  # [B, S] compacted row ids
+
+    if cap_hint is not None and cap_hint < s and use_pallas and quant != "int8":
+        # budget-bounded configs (mask_budget / topk / random): ONE fused
+        # kernel does gather -> staged2 layer at the capacity -> masked
+        # scatter + identity passthrough entirely in VMEM
+        # (ops/pallas/layer.py::fused_vit_layer_bucketed) — the unfused
+        # ladder's per-layer HBM round trips for compaction cost ~1.3
+        # ms/layer at DeiT-S B=512 (r3 ablation)
+        from vit_pruning_tpu.ops.pallas.layer import fused_vit_layer_bucketed
+
+        y = fused_vit_layer_bucketed(
+            x, layer_params, dest, mask, cap_hint, config.num_heads,
+            eps=config.layernorm_eps,
+        )
+        if passthrough is None:
+            return y  # identity passthrough already baked into the scatter
+        return jnp.where(mask[..., None], y, passthrough)
+
     caps = _bucket_caps(s)
     if cap_hint is not None and cap_hint < s:
         caps = tuple(sorted(set(caps) | {cap_hint}))
@@ -173,7 +194,8 @@ def bucketed_masked_layer(
         return br
 
     idx = jnp.searchsorted(jnp.asarray(caps, jnp.int32), maxc)
-    return jax.lax.switch(idx, [make_branch(c) for c in caps], x)
+    y = jax.lax.switch(idx, [make_branch(c) for c in caps], x)
+    return jnp.where(mask[..., None], y, x if passthrough is None else passthrough)
 
 
 def _sim_threshold(pcfg: PruneConfig, layer_idx: int) -> float:
@@ -280,10 +302,12 @@ def pruned_layer_forward(
             # but the executed shape tracks the batch's actual mask density
             # (capped configs run at exactly budget+1)
             hint = pcfg.mask_budget + 1 if pcfg.mask_budget is not None else None
-            y = bucketed_masked_layer(x, layer_params, mask, config,
-                                      use_pallas=use_pallas, quant=quant,
-                                      cap_hint=hint)
-            out = jnp.where(mask[..., None], y, _passthrough(x, extras, mask))
+            out = bucketed_masked_layer(
+                x, layer_params, mask, config,
+                use_pallas=use_pallas, quant=quant, cap_hint=hint,
+                passthrough=(_passthrough(x, extras, mask)
+                             if "approx_residual" in extras else None),
+            )
         else:
             y = vit_layer(x, layer_params, config, token_mask=mask,
                           use_pallas=use_pallas, quant=quant)
@@ -295,10 +319,12 @@ def pruned_layer_forward(
             # serving: one-hot matmul compaction at the static k+1 bucket —
             # XLA's dynamic gather/scatter costs ~2 ms/layer at these shapes
             # (measured: gather/scatter form 12.7k img/s vs 14.2k bucketed)
-            y = bucketed_masked_layer(x, layer_params, mask, config,
-                                      use_pallas=use_pallas, quant=quant,
-                                      cap_hint=pcfg.top_k + 1)
-            out = jnp.where(mask[..., None], y, _passthrough(x, extras, mask))
+            out = bucketed_masked_layer(
+                x, layer_params, mask, config,
+                use_pallas=use_pallas, quant=quant, cap_hint=pcfg.top_k + 1,
+                passthrough=(_passthrough(x, extras, mask)
+                             if "approx_residual" in extras else None),
+            )
         else:
             # CLS + sorted top-k patch indices == compact_indices(mask, k+1)
             cidx = jnp.concatenate(
@@ -325,13 +351,13 @@ def pruned_layer_forward(
         if not need_oracle:
             # fixed per-image budget => the bucket runs at exactly budget+1:
             # mask-mode execution cost at the exact skip rate
-            y = bucketed_masked_layer(x, layer_params, mask, config,
-                                      use_pallas=use_pallas, quant=quant,
-                                      cap_hint=budget + 1)
+            out = bucketed_masked_layer(x, layer_params, mask, config,
+                                        use_pallas=use_pallas, quant=quant,
+                                        cap_hint=budget + 1)
         else:
             y = vit_layer(x, layer_params, config, token_mask=mask,
                           use_pallas=use_pallas, quant=quant)
-        out = jnp.where(mask[..., None], y, x)
+            out = jnp.where(mask[..., None], y, x)
     else:
         raise ValueError(f"unknown prune mode {pcfg.mode!r}")
 

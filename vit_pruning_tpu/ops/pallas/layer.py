@@ -569,3 +569,203 @@ def fused_vit_layer_cls_logits(
         ),
     )(x, *weights)
     return out
+
+
+# --- Fused bucketed mask-mode layer (r3) -------------------------------------
+#
+# The unfused bucketed path (models/pruned_vit.py::bucketed_masked_layer)
+# pays per-layer HBM round trips: one-hot gather to the capacity bucket,
+# the layer kernel, one-hot scatter back, and a full-length select — ~1.3
+# ms/layer of pure data movement at DeiT-S B=512 on top of the ~1.3 ms
+# compacted layer, capping mask mode near 1.05x the staged2 dense. This
+# kernel does gather -> staged2 layer at capacity -> masked scatter (+
+# identity passthrough for skipped tokens) in ONE launch: HBM traffic is
+# one full-length x-in/x-out + weights, compute runs at the bucket capacity.
+#
+# Semantics: identical to P @ x -> vit_layer(token_mask=valid-rows) -> P^T
+# (kept rows only) -> where(kept, ., x). Used by bucketed_masked_layer when
+# a static capacity bound (cap_hint: mask_budget / top_k / random budget) is
+# known; parity-tested in tests/test_pallas.py and scripts/tpu_parity.py.
+
+def _bucketed_kernel(
+    x_ref, dest_ref, kept_ref,
+    ln1g_ref, ln1b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    ln2g_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    o_ref,
+    xc_ref,      # scratch [BT*CAP, D] x dtype — compacted input
+    ctx_ref,     # scratch [BT*CAP, KW]
+    logits_ref,  # scratch [BT*H*CAP, CAP] f32
+    p_ref,       # scratch [BT*H*CAP, CAP] x dtype
+    *, bt: int, s: int, cap: int, h: int, hd: int, d: int, eps: float,
+    scale: float,
+):
+    kw = h * hd
+    x = x_ref[:].reshape(bt * s, d)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (cap, s), 0)
+
+    # in-VMEM one-hot gather: xc[b] = P_b @ x_b (P exact in any dtype)
+    for b in range(bt):
+        P = (dest_ref[b, :, :] == rows_i).astype(x.dtype)  # [cap, S]
+        xc_ref[pl.ds(b * cap, cap), :] = jnp.dot(
+            P, x[b * s:(b + 1) * s, :], preferred_element_type=jnp.float32
+        ).astype(xc_ref.dtype)
+
+    xc = xc_ref[:].astype(jnp.float32)  # [BT*CAP, D]
+    h1 = _layer_norm_f32(
+        xc, ln1g_ref[:].astype(jnp.float32), ln1b_ref[:].astype(jnp.float32), eps
+    )
+    qkv = jnp.dot(
+        h1.astype(wqkv_ref.dtype), wqkv_ref[:], preferred_element_type=jnp.float32
+    ) + bqkv_ref[:].astype(jnp.float32)
+    qkv = qkv.astype(x_ref.dtype)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+    for b in range(bt):
+        counts_b = jnp.sum(kept_ref[b, :, :])
+        key_ok = col < counts_b  # [1, CAP]
+        for head in range(h):
+            q = qkv[b * cap:(b + 1) * cap, head * hd:(head + 1) * hd]
+            k = qkv[b * cap:(b + 1) * cap, kw + head * hd:kw + (head + 1) * hd]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            logits = jnp.where(key_ok, logits, NEG_INF)
+            logits_ref[pl.ds((b * h + head) * cap, cap), :] = logits
+    p_ref[:] = jnp.exp(
+        logits_ref[:] - jnp.max(logits_ref[:], axis=-1, keepdims=True)
+    ).astype(p_ref.dtype)
+    ones_col = jnp.ones((cap, 1), dtype=qkv.dtype)
+    for b in range(bt):
+        rows = pl.ds(b * cap, cap)
+        for head in range(h):
+            v = qkv[b * cap:(b + 1) * cap, 2 * kw + head * hd:2 * kw + (head + 1) * hd]
+            vv = jnp.concatenate([v, ones_col], axis=1)
+            p_bh = p_ref[pl.ds((b * h + head) * cap, cap), :].astype(qkv.dtype)
+            out = jnp.dot(p_bh, vv, preferred_element_type=jnp.float32)
+            ctx_ref[rows, pl.ds(head * hd, hd)] = (
+                out[:, :hd] * (1.0 / out[:, hd:hd + 1])
+            ).astype(ctx_ref.dtype)
+
+    attn_out = jnp.dot(
+        ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32
+    ) + bo_ref[:].astype(jnp.float32)
+    x1 = xc + attn_out
+
+    h2 = _layer_norm_f32(
+        x1, ln2g_ref[:].astype(jnp.float32), ln2b_ref[:].astype(jnp.float32), eps
+    )
+    m1 = jnp.dot(
+        h2.astype(w1_ref.dtype), w1_ref[:], preferred_element_type=jnp.float32
+    ) + b1_ref[:].astype(jnp.float32)
+    gelu = _gelu_tanh if o_ref.dtype == jnp.bfloat16 else _gelu
+    m1 = gelu(m1).astype(w2_ref.dtype)
+    m2 = jnp.dot(m1, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:].astype(jnp.float32)
+    yc = (x1 + m2).astype(x_ref.dtype)  # [BT*CAP, D]
+
+    # masked scatter + identity passthrough: out = Ps^T @ yc + (1-kept) * x
+    for b in range(bt):
+        kept_row = kept_ref[b, :, :]  # [1, S] int32
+        Ps = ((dest_ref[b, :, :] == rows_i) & (kept_row != 0)).astype(x.dtype)
+        back = jax.lax.dot_general(
+            Ps, yc[b * cap:(b + 1) * cap, :],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S, D]
+        keep_col = jnp.transpose(kept_row).astype(jnp.float32)  # [S, 1]
+        xb = x[b * s:(b + 1) * s, :].astype(jnp.float32)
+        o_ref[b] = (back + (1.0 - keep_col) * xb).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cap", "num_heads", "eps", "block_b", "interpret")
+)
+def fused_vit_layer_bucketed(
+    x: jnp.ndarray,
+    params: dict,
+    dest: jnp.ndarray,
+    kept: jnp.ndarray,
+    cap: int,
+    num_heads: int,
+    eps: float = 1e-12,
+    block_b: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bucketed mask-mode layer, fully fused.
+
+    x: [B, S, D]; dest: [B, S] int32 compacted row ids (kept-first stable
+    order, as built by bucketed_masked_layer); kept: [B, S] bool. cap must
+    statically bound every image's kept count. Returns [B, S, D]: layer
+    output at kept positions, identity at skipped positions.
+    """
+    b, s, d = x.shape
+    kv_width = params["attn"]["q"]["w"].shape[1]
+    hd = kv_width // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    if block_b == 0:
+        block_b = 8
+    bt = min(block_b, b)
+    while b % bt:
+        bt -= 1
+
+    s_pad = _round_up(s, 8)
+    cap_pad = _round_up(cap, 8)
+    if s_pad != s:
+        x = jnp.pad(x, [(0, 0), (0, s_pad - s), (0, 0)])
+        # padded positions: dest out of range (never gathered), not kept
+        dest = jnp.pad(dest, [(0, 0), (0, s_pad - s)], constant_values=s_pad + cap_pad)
+        kept = jnp.pad(kept, [(0, 0), (0, s_pad - s)])
+
+    a = params["attn"]
+    wqkv = jnp.concatenate([a["q"]["w"], a["k"]["w"], a["v"]["w"]], axis=1)
+    bqkv = jnp.concatenate([a["q"]["b"], a["k"]["b"], a["v"]["b"]]).reshape(1, 3 * kv_width)
+    m = params["mlp"]["fc1"]["w"].shape[1]
+
+    def vec(t, n):
+        return t.reshape(1, n)
+
+    weights = [
+        vec(params["ln1"]["g"], d), vec(params["ln1"]["b"], d),
+        wqkv, bqkv,
+        a["o"]["w"], vec(a["o"]["b"], d),
+        vec(params["ln2"]["g"], d), vec(params["ln2"]["b"], d),
+        params["mlp"]["fc1"]["w"], vec(params["mlp"]["fc1"]["b"], m),
+        params["mlp"]["fc2"]["w"], vec(params["mlp"]["fc2"]["b"], d),
+    ]
+    w_specs = [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _bucketed_kernel, bt=bt, s=s_pad, cap=cap_pad, h=num_heads, hd=hd,
+            d=d, eps=eps, scale=scale,
+        ),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, s_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1, s_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1, s_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ] + w_specs,
+        out_specs=pl.BlockSpec((bt, s_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bt * cap_pad, d), x.dtype),
+            pltpu.VMEM((bt * cap_pad, kv_width), x.dtype),
+            pltpu.VMEM((bt * num_heads * cap_pad, cap_pad), jnp.float32),
+            pltpu.VMEM((bt * num_heads * cap_pad, cap_pad), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * cap_pad * d * (3 * d + d + 2 * m)
+            + 4 * b * num_heads * cap_pad * cap_pad * hd
+            + 4 * b * cap_pad * s_pad * d,
+            bytes_accessed=(2 * b * s_pad * d + 4 * d * d + 2 * d * m) * x.dtype.itemsize,
+            transcendentals=b * cap_pad * (m + num_heads * cap_pad),
+        ),
+    )(x, dest.astype(jnp.int32)[:, None, :], kept.astype(jnp.int32)[:, None, :], *weights)
+    return out[:, :s]
