@@ -48,7 +48,7 @@ import jax
 
 from vit_pruning_tpu.configs import PruneConfig, ViTConfig
 from vit_pruning_tpu.data.datasets import (
-    Batches,
+    DeviceBatches,
     load_cifar100,
     synthetic_localized_dataset,
 )
@@ -99,9 +99,11 @@ def build_task(args):
             seed=1, label_noise=args.label_noise,
             signal_patches=signal, cell=cell,
         )
-    train_b = Batches(*tr, batch_size=args.batch, image_size=config.image_size,
-                      shuffle=True, seed=42)
-    test_b = Batches(*te, batch_size=args.batch, image_size=config.image_size)
+    # device-resident batches: on the axon relay, re-uploading each batch
+    # over the socket tunnel costs ~10x the train step at 224 scale
+    train_b = DeviceBatches(*tr, batch_size=args.batch,
+                            image_size=config.image_size, shuffle=True, seed=42)
+    test_b = DeviceBatches(*te, batch_size=args.batch, image_size=config.image_size)
     return config, train_b, test_b
 
 
@@ -205,11 +207,32 @@ def train_and_eval(config, pcfg, train_b, test_b, args, log,
         params["backbone"] = prune_mlp_channels(bb, keep_c)
 
     if base_params is None:
-        # dense baseline: plain from-scratch classification training
+        # dense baseline: plain from-scratch classification training. At
+        # gate scale a constant lr converges fast; a from-scratch DeiT-S
+        # @224 sits at chance without warmup (measured: 0.88% after 5
+        # epochs at constant 3e-4), so the bench-scale gate uses the
+        # standard ViT recipe piece — linear warmup + cosine decay.
+        clip = None
+        if args.gate_model == "deit_small":
+            # the standard DeiT-from-scratch stabilizers: batch-scaled peak
+            # lr (5e-4 x bs/512), 5-epoch linear warmup, cosine decay,
+            # global-norm-1 gradient clipping
+            import optax
+
+            steps = args.epochs * len(train_b)
+            peak = 5e-4 * args.batch / 512
+            lr_dense = optax.warmup_cosine_decay_schedule(
+                0.0, peak, max(1, min(5 * len(train_b), steps // 3)),
+                steps, peak * 0.01
+            )
+            clip = 1.0
+        else:
+            lr_dense = 3e-4
         params = train(
             params, train_b, test_b, eval_cfg, pcfg,
-            num_epochs=args.epochs, loss_type="classification", lr=3e-4,
+            num_epochs=args.epochs, loss_type="classification", lr=lr_dense,
             full_testing=False, log=log, compute_dtype=compute_dtype,
+            clip_norm=clip,
         )
     if pcfg.predictor != "none":
         # phase 1: calibrate the oracle on the trained backbone, train the
@@ -348,6 +371,11 @@ def main():
                     help="bf16 mixed-precision training (recommended at "
                     "deit_small scale; the 32x32 gate default stays fp32 for "
                     "byte-reproducibility with round 2)")
+    ap.add_argument("--kernels", choices=["xla", "auto"], default="xla",
+                    help="compute-path pin: 'xla' (default — the gate is "
+                    "independent of kernel dispatch) or 'auto' (Pallas "
+                    "megakernels via their grad-parity-tested custom VJP; "
+                    "~2-3x faster at deit_small @224 scale)")
     ap.add_argument("--merge_into", default=None,
                     help="merge results into this JSON file under --section "
                     "(e.g. quality_results.json)")
@@ -366,7 +394,7 @@ def main():
     # the tiny gate-model shapes)
     from vit_pruning_tpu.ops.dispatch import set_kernel_mode
 
-    set_kernel_mode("xla")
+    set_kernel_mode(args.kernels if args.kernels != "auto" else "auto")
 
     config, train_b, test_b = build_task(args)
     n = config.num_patches
@@ -377,6 +405,16 @@ def main():
         args, log,
     )
     log(f"dense top-1: {dense_acc:.4f}")
+    chance = 1.0 / config.num_labels
+    if dense_acc < 5 * chance:
+        # an untrained baseline makes every delta gate vacuously pass —
+        # refuse to certify anything (the round-1 lesson, inverted)
+        log(f"FATAL: dense baseline {dense_acc:.4f} is within noise of "
+            f"chance ({chance:.4f}); the gate would be vacuous. Fix the "
+            "training recipe (epochs/lr/warmup) before gating.")
+        print(json.dumps({"pass": False, "error": "dense_baseline_at_chance",
+                          "dense_top1": round(dense_acc, 4)}))
+        return 2
 
     presets = {}
     if args.preset in ("headline", "both"):

@@ -72,3 +72,16 @@ def test_fetch_raises_actionable_error_offline(tmp_path):
     done.mkdir()
     (done / ".fetch_complete").touch()
     assert fetch_imagenet_val(str(done)) == str(done)
+
+
+def test_device_batches_matches_host_batches():
+    from vit_pruning_tpu.data.datasets import Batches, DeviceBatches, synthetic_dataset
+
+    images, labels = synthetic_dataset(n=32, image_size=16, num_labels=4)
+    kw = dict(batch_size=8, image_size=16, shuffle=True, seed=3)
+    hb, db = Batches(images, labels, **kw), DeviceBatches(images, labels, **kw)
+    hb.set_epoch(1), db.set_epoch(1)
+    for a, b in zip(hb, db):
+        np.testing.assert_allclose(np.asarray(a["pixel_values"]),
+                                   np.asarray(b["pixel_values"]), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(a["labels"]), np.asarray(b["labels"]))

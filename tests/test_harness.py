@@ -63,6 +63,27 @@ def test_freeze_policies(policy):
     assert any(trainable_moved)
 
 
+def test_masked_adam_schedule_and_clip():
+    # the deit_small-scale dense recipe: warmup-cosine schedule + global-norm
+    # clipping through masked_adam must still zero frozen leaves and must
+    # clip (first-step |update| bounded by lr even for huge gradients)
+    import optax
+
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, PCFG)
+    sched = optax.warmup_cosine_decay_schedule(0.0, 1e-2, 2, 10, 1e-4)
+    opt = masked_adam(params, "vit_mlp_train", sched, clip_norm=1.0)
+    opt_state = opt.init(params)
+    grads = jax.tree.map(lambda a: jnp.full_like(a, 1e6), params)
+    updates, _ = opt.update(grads, opt_state, params)
+    mask = freeze_mask(params, "vit_mlp_train")
+    for m, u in zip(jax.tree.leaves(mask), jax.tree.leaves(updates)):
+        mx = float(jnp.abs(u).max())
+        if not m:
+            assert mx == 0.0
+        else:
+            assert mx <= 1e-2 + 1e-6  # clipped then scaled by step-0 lr (=0 at warmup start)
+
+
 def test_cosine_phase_trains_predictor():
     params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, PCFG)
     data = _data()

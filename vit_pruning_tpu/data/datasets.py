@@ -252,3 +252,39 @@ class Batches:
                 "pixel_values": self._pre(jnp.asarray(self.images[idx])),
                 "labels": jnp.asarray(self.labels[idx]),
             }
+
+
+class DeviceBatches(Batches):
+    """Batches with the WHOLE dataset resident on device.
+
+    On the axon relay, host->device transfers ride a socket tunnel
+    (~25 MB/s): re-uploading each 19 MB uint8 batch costs ~50 s/epoch at
+    deit_small @224 bs128 — 10x the train step itself. Uint8 images fit in
+    HBM at every gate scale (8192 x 224^2 x 3 = 1.2 GB), so this uploads
+    once and gathers + preprocesses per batch on device. Identical batch
+    order/semantics to Batches (same epoch-pinned shuffle)."""
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        self._dev_images = jax.device_put(np.ascontiguousarray(self.images))
+        self._dev_labels = jax.device_put(np.asarray(self.labels))
+        pre = self._pre
+
+        @jax.jit
+        def fetch(images, labels, idx):
+            return {
+                "pixel_values": pre(jnp.take(images, idx, axis=0)),
+                "labels": jnp.take(labels, idx, axis=0),
+            }
+
+        self._fetch = fetch
+
+    def __iter__(self) -> Iterator[dict]:
+        order = np.arange(len(self.images))
+        if self.shuffle:
+            order = np.random.RandomState(self.seed + self._epoch).permutation(order)
+            self._epoch += 1
+        for i in range(len(self)):
+            idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+            yield self._fetch(self._dev_images, self._dev_labels,
+                              jnp.asarray(idx, jnp.int32))

@@ -68,18 +68,28 @@ def policy_for_loss_type(loss_type: str) -> str:
     }.get(loss_type, "vit_mlp_train")
 
 
-def masked_adam(params: dict, policy: str, lr: float) -> optax.GradientTransformation:
+def masked_adam(
+    params: dict, policy: str, lr, clip_norm: float = None
+) -> optax.GradientTransformation:
     """Adam over the policy-selected subset (main_model_utils.py:119).
 
     Frozen leaves get zero updates (optax.masked alone would pass raw
     gradients through for unmasked leaves).
+
+    lr: a float or an optax schedule (e.g. warmup-cosine for from-scratch
+    ViT training). clip_norm: optional global-norm gradient clipping before
+    Adam (the standard ViT-from-scratch stabilizer; None = off, preserving
+    the original update rule byte-for-byte).
     """
     labels = jax.tree.map(
         lambda trainable: "train" if trainable else "freeze",
         freeze_mask(params, policy),
     )
+    train_tx = optax.adam(lr)
+    if clip_norm is not None:
+        train_tx = optax.chain(optax.clip_by_global_norm(clip_norm), train_tx)
     return optax.multi_transform(
-        {"train": optax.adam(lr), "freeze": optax.set_to_zero()}, labels
+        {"train": train_tx, "freeze": optax.set_to_zero()}, labels
     )
 
 

@@ -201,6 +201,7 @@ def train(
     remat: bool = False,
     distill=None,
     per_layer_lr_scales=None,
+    clip_norm: float = None,
 ) -> dict:
     """One training phase (main_model_utils.py:100-191). Returns params.
 
@@ -235,7 +236,7 @@ def train(
 
             opt = per_predictor_adam(params, lr, per_layer_lr_scales, policy=pol)
         else:
-            opt = masked_adam(params, pol, lr)
+            opt = masked_adam(params, pol, lr, clip_norm=clip_norm)
         return opt, make_train_step(config, pcfg, loss_t, opt,
                                     compute_dtype=compute_dtype, remat=remat,
                                     distill=distill)
