@@ -182,6 +182,27 @@ def test_topk_budget_exact():
     assert (kept == 7).all()  # top_k patches + CLS, every layer, every image
 
 
+def test_rank_keep_mask_matches_topk():
+    # rank selection (serving path: no sort, no scatter) must pick EXACTLY
+    # the top_k set, including top_k's lower-index-wins tie-break and -inf
+    # padding as used by the mask_budget cap
+    from vit_pruning_tpu.ops.masking import rank_keep_mask
+
+    rng = np.random.RandomState(0)
+    for trial in range(5):
+        scores = rng.randn(4, 37).astype(np.float32)
+        # force ties: quantize coarsely and duplicate a few entries
+        scores = np.round(scores * 2) / 2
+        scores[1, 5] = scores[1, 20] = scores[1, 31]
+        if trial == 3:  # -inf padding like the capped-mask call site
+            scores[2, ::3] = -np.inf
+        for k in (1, 7, 36):
+            ref, _ = topk_keep_mask(jnp.asarray(scores), k)
+            got = rank_keep_mask(jnp.asarray(scores), k)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+            assert int(np.asarray(got).sum(-1).max()) <= k
+
+
 def test_inactive_layers_stay_dense():
     pcfg = PruneConfig(mode="mask", predictor="cls_mlp", active_layers=(1,))
     params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)

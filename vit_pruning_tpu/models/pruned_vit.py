@@ -54,6 +54,7 @@ from vit_pruning_tpu.ops.masking import (
     neighbor_average,
     neighbor_index_table,
     random_keep_mask,
+    rank_keep_mask,
     scatter_back,
     similarity_oracle,
     threshold_keep_mask,
@@ -284,7 +285,7 @@ def pruned_layer_forward(
             # semantics (himanshu/model_utils.py:62-91); only fat-tail
             # images are truncated by score rank. This pins the bucketed
             # execution capacity at budget+1 instead of the batch max.
-            capped, _ = topk_keep_mask(
+            capped = rank_keep_mask(
                 jnp.where(keep, scores, -jnp.inf), pcfg.mask_budget
             )
             keep = keep & capped
@@ -313,7 +314,11 @@ def pruned_layer_forward(
                           use_pallas=use_pallas, quant=quant)
             out = jnp.where(mask[..., None], y, _passthrough(x, extras, mask))
     elif pcfg.mode == "topk":
-        keep, kidx = topk_keep_mask(scores, pcfg.top_k)
+        if need_oracle:
+            keep, kidx = topk_keep_mask(scores, pcfg.top_k)
+        else:
+            # serving needs only the mask: rank selection (no sort/scatter)
+            keep = rank_keep_mask(scores, pcfg.top_k)
         mask = add_cls_keep(keep)
         if not need_oracle:
             # serving: one-hot matmul compaction at the static k+1 bucket —

@@ -3,6 +3,7 @@ from vit_pruning_tpu.ops.patch_embed import extract_patches, patch_embed  # noqa
 from vit_pruning_tpu.ops.masking import (  # noqa: F401
     similarity_oracle,
     topk_keep_mask,
+    rank_keep_mask,
     threshold_keep_mask,
     add_cls_keep,
     neighbor_average,

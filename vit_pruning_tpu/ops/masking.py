@@ -76,14 +76,35 @@ def topk_keep_mask(scores: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarra
     return mask, idx
 
 
+def rank_keep_mask(scores: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Mask of the k highest-scoring tokens per image, sort/scatter-free.
+
+    Selects the SAME set as topk_keep_mask (ties broken toward the lower
+    index, matching jax.lax.top_k) but computes it as a pairwise-comparison
+    rank — token i is kept iff fewer than k tokens beat it. XLA fuses the
+    [*, N, N] comparison into a streaming VPU reduction, avoiding both the
+    top_k sort and the vmapped dynamic scatter, which are the expensive
+    pieces of per-layer re-decide selection on TPU at serving shapes (the
+    same family of cost as the ~2 ms/layer dynamic gather/scatter that
+    motivated one-hot compaction). Use when only the mask is needed;
+    topk_keep_mask when the sorted indices are too.
+    """
+    n = scores.shape[-1]
+    s_i = scores[..., :, None]
+    s_j = scores[..., None, :]
+    idx_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    idx_j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    beats = (s_j > s_i) | ((s_j == s_i) & (idx_j < idx_i))
+    return beats.sum(-1) < k
+
+
 def random_keep_mask(rng: jax.Array, batch: int, n: int, keep: int) -> jnp.ndarray:
     """Uniformly-random keep mask with a fixed per-layer budget.
 
     The M14 control baseline (pradeep/old codes/random_pruning.py:22-69).
     """
     noise = jax.random.uniform(rng, (batch, n))
-    mask, _ = topk_keep_mask(noise, keep)
-    return mask
+    return rank_keep_mask(noise, keep)
 
 
 def add_cls_keep(patch_mask: jnp.ndarray) -> jnp.ndarray:
