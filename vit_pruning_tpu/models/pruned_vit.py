@@ -398,6 +398,10 @@ def pruned_layer_forward(
         elif pcfg.loss == "mse_attention":
             target = jax.lax.stop_gradient(probs[:, :, 0, 1:].mean(axis=1))
             pred_loss = mse_attention_loss(scores, target)
+            # expose the training signal so callers can measure predictor
+            # fidelity against the ranking it was actually trained on
+            # (quality.py: top-k set agreement for M7-recipe predictors)
+            info["attn_target"] = target
         elif pcfg.loss == "focal":
             pred_loss = focal_loss(
                 scores, oracle_keep, alpha=pcfg.focal_alpha, gamma=pcfg.focal_gamma
@@ -511,6 +515,8 @@ def pruned_vit_forward(
                     oracle_keep=jnp.ones((x.shape[0], n), bool),
                     confusion=jnp.zeros((2, 2), jnp.int32),
                 )
+                if pcfg.loss == "mse_attention":
+                    info["attn_target"] = jnp.zeros((x.shape[0], n), x.dtype)
         else:
             def layer_fn(lp_, pred_, x_, prev_keep_, rng_, un_, teacher_, _i=i):
                 return pruned_layer_forward(
@@ -556,7 +562,10 @@ def pruned_vit_forward(
         masks.append(info["keep_mask"])
         scores_l.append(info["scores"])
         if need_oracle:
-            aux_l.append({k: info[k] for k in ("pred_loss", "similarity", "oracle_keep", "confusion")})
+            keys = ["pred_loss", "similarity", "oracle_keep", "confusion"]
+            if pcfg.loss == "mse_attention":
+                keys.append("attn_target")
+            aux_l.append({k: info[k] for k in keys})
 
     x = layer_norm(x, backbone["ln_f"], config.layernorm_eps)
     cls = x[:, 0]
