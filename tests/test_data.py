@@ -85,3 +85,36 @@ def test_device_batches_matches_host_batches():
         np.testing.assert_allclose(np.asarray(a["pixel_values"]),
                                    np.asarray(b["pixel_values"]), atol=1e-6)
         np.testing.assert_array_equal(np.asarray(a["labels"]), np.asarray(b["labels"]))
+
+
+def test_prefetch_batches_matches_inner_and_delegates():
+    from vit_pruning_tpu.data.datasets import Batches, PrefetchBatches, synthetic_dataset
+
+    images, labels = synthetic_dataset(n=64, image_size=16, num_labels=4)
+    kw = dict(batch_size=16, image_size=16, shuffle=True, seed=3)
+    inner, pre = Batches(images, labels, **kw), PrefetchBatches(Batches(images, labels, **kw))
+    inner.set_epoch(2), pre.set_epoch(2)
+    assert len(pre) == len(inner) and pre.num_samples == inner.num_samples
+    got = list(pre)
+    ref = list(inner)
+    assert len(got) == len(ref)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a["pixel_values"]),
+                                   np.asarray(b["pixel_values"]), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(a["labels"]), np.asarray(b["labels"]))
+
+
+def test_prefetch_batches_propagates_worker_errors_and_rejects_bad_depth():
+    from vit_pruning_tpu.data.datasets import PrefetchBatches
+
+    class Boom:
+        def __iter__(self):
+            yield {"labels": np.zeros(2)}
+            raise RuntimeError("decode failed")
+
+    it = iter(PrefetchBatches(Boom(), depth=1))
+    next(it)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(it)
+    with pytest.raises(ValueError):
+        PrefetchBatches(Boom(), depth=0)

@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--log_dir", default="logs")
     t.add_argument("--models_dir", default="models")
     t.add_argument("--seed", type=int, default=42)
+    t.add_argument("--prefetch", type=int, default=0, metavar="DEPTH",
+                   help="async host->device input prefetch depth (0 = off; "
+                        "2 double-buffers — the DataLoader num_workers "
+                        "equivalent for datasets too large for "
+                        "DeviceBatches)")
     t.add_argument("--bf16", action="store_true",
                    help="mixed-precision training (bf16 compute, fp32 master "
                         "params; ~6.5x faster on v5e)")
@@ -169,6 +174,11 @@ def _load_data(args, config: ViTConfig):
                       image_size=config.image_size, shuffle=True, seed=args.seed)
     test_b = Batches(*te, batch_size=min(args.test_batch_size, len(te[1])),
                      image_size=config.image_size)
+    if getattr(args, "prefetch", 0):
+        from vit_pruning_tpu.data.datasets import PrefetchBatches
+
+        train_b = PrefetchBatches(train_b, depth=args.prefetch)
+        test_b = PrefetchBatches(test_b, depth=args.prefetch)
     return train_b, test_b
 
 
