@@ -358,3 +358,50 @@ def test_bucketed_cap_hint_matches_unhinted():
     m = np.asarray(keep)[..., None]
     np.testing.assert_allclose(np.asarray(base) * m, np.asarray(hinted) * m,
                                atol=1e-5)
+
+
+def test_progressive_drop_rank_form_matches_topk_form():
+    # progressive_drop's sort-free rank/cumsum compaction must produce
+    # byte-identical compacted sequences AND source indices to the
+    # top_k -> sorted-index one-hot formulation, including score ties
+    # (lower original index wins, matching jax.lax.top_k)
+    from vit_pruning_tpu.models.pruned_vit import (
+        _layer_slice,
+        _progressive_drop_topk,
+        progressive_drop,
+    )
+
+    pcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                       loss="mse_attention", top_k=6)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    n = (CFG.image_size // CFG.patch_size) ** 2
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, n + 1, CFG.hidden_size))
+    for k in (1, 4, n - 1):
+        xc, scores, cidx = progressive_drop(
+            x, params["predictor"], 0, k, CFG, pcfg,
+            layer_params=_layer_slice(params["backbone"]["layers"], 0),
+        )
+        # tie-heavy control: quantized scores force many equal values
+        for s in (scores, jnp.round(scores * 2) / 2):
+            keepx, keepc = _progressive_drop_topk(x, s, k)
+            xc2, _, cidx2 = progressive_drop(
+                x, params["predictor"], 0, k, CFG, pcfg,
+                layer_params=_layer_slice(params["backbone"]["layers"], 0),
+            )
+            if s is scores:
+                np.testing.assert_array_equal(np.asarray(cidx), np.asarray(keepc))
+                np.testing.assert_allclose(np.asarray(xc), np.asarray(keepx),
+                                           rtol=0, atol=0)
+    # direct tie check on hand-built scores (bypasses the predictor)
+    from vit_pruning_tpu.ops.masking import add_cls_keep, rank_keep_mask
+
+    s = jnp.array([[1.0, 2.0, 2.0, 0.5, 2.0]])
+    xt = jnp.arange(6, dtype=jnp.float32)[None, :, None] * jnp.ones((1, 6, 4))
+    keep = rank_keep_mask(s, 2)
+    mask = add_cls_keep(keep)
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1
+    P = ((rank[:, None, :] == jax.lax.broadcasted_iota(jnp.int32, (1, 3, 1), 1))
+         & mask[:, None, :])
+    xc = jnp.einsum("brt,btd->brd", P.astype(xt.dtype), xt)
+    keepx, keepc = _progressive_drop_topk(xt, s, 2)
+    np.testing.assert_allclose(np.asarray(xc), np.asarray(keepx), rtol=0, atol=0)

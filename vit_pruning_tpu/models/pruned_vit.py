@@ -608,23 +608,49 @@ def progressive_drop(
     scores, _ = apply_predictor(
         pred_params, layer_idx, x, config, pcfg, layer_params=layer_params
     )
-    # fast compaction: CLS + the sorted top-k patch indices directly
-    # (equivalent to compact_indices over the thresholded mask, but sorts
-    # [B, k] instead of argsorting the full [B, S])
-    _, kidx = jax.lax.top_k(scores, k)
-    cidx = jnp.concatenate(
-        [jnp.zeros((b, 1), jnp.int32),
-         jnp.sort(kidx.astype(jnp.int32), axis=-1) + 1], axis=1)
-    # gather as a one-hot batched matmul on the MXU instead of XLA's dynamic
+    # sort/scatter-free compaction: the kept set as a rank mask (same
+    # lower-index tie-break as top_k), compacted rows assigned by cumsum —
+    # original token order is preserved, exactly as the sorted-top_k
+    # formulation (kept as _progressive_drop_topk for the parity test).
+    # top_k + sort are the expensive pieces of re-decide selection on TPU
+    # (see ops/masking.py::rank_keep_mask); the comparison rank streams on
+    # the VPU instead.
+    keep = rank_keep_mask(scores, k)  # [B, cur-1] patch keeps
+    mask = add_cls_keep(keep)  # [B, cur], CLS always kept
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1  # compacted row
+    # one-hot gather as a batched matmul on the MXU instead of XLA's dynamic
     # gather (the bucketed_masked_layer lesson: row selection as P @ x is
     # exact — each P row has a single 1 — and several times cheaper at these
     # shapes than take_along_axis)
     P = (
+        rank[:, None, :]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, k + 1, 1), 1)
+    ) & mask[:, None, :]  # [B, k+1, S]
+    xc = jnp.einsum("brt,btd->brd", P.astype(x.dtype), x)
+    # source index of each compacted row (viz/pipeline bookkeeping; dead
+    # code under the serving jit, where only logits are consumed)
+    cidx = (
+        P * jax.lax.broadcasted_iota(jnp.int32, (1, 1, s_cur), 2)
+    ).sum(-1).astype(jnp.int32)
+    return xc, scores, cidx
+
+
+def _progressive_drop_topk(x, scores, k):
+    """Reference formulation of progressive_drop's compaction (top_k →
+    sorted indices → index-equality one-hot). Used only by the parity test
+    and the kernel-lab ablation; progressive_drop's rank/cumsum form must
+    select identically."""
+    b, s_cur, _ = x.shape
+    _, kidx = jax.lax.top_k(scores, k)
+    cidx = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32),
+         jnp.sort(kidx.astype(jnp.int32), axis=-1) + 1], axis=1)
+    P = (
         cidx[:, :, None]
         == jax.lax.broadcasted_iota(jnp.int32, (1, 1, s_cur), 2)
-    ).astype(x.dtype)  # [B, k+1, S]
+    ).astype(x.dtype)
     xc = jnp.einsum("brt,btd->brd", P, x)
-    return xc, scores, cidx
+    return xc, cidx
 
 
 def progressive_topk_forward(
