@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import jax
@@ -151,26 +152,47 @@ def calibrate_mlp_threshold(params, batch, config, pcfg):
 def attention_topk_agreement(params, test_b, config, pcfg):
     """Predictor fidelity for M7-recipe (mse_attention) predictors.
 
-    Per-layer top-k set agreement between the predictor's scores and the
-    true CLS-attention ranking it was trained to regress, averaged over the
-    test set. Measured in re-decide ('topk') mode so every layer ranks the
-    full sequence — the selection semantics of the reference's
-    pradeep/using_attention.py:136-147."""
+    Measured at the layers where the serving schedule actually DECIDES
+    (keep_schedule drop points; layer 0 for a plain top_k config) — grading
+    re-decisions at layers the deployed config never re-decides would mix in
+    deep layers whose CLS-attention is near-uniform, where top-k set
+    membership is tie-noise with no accuracy consequence.
+
+    Primary metric: attention-MASS capture — the fraction of the true
+    CLS-attention mass captured by the predictor's kept set, relative to the
+    mass the true top-k set captures (1.0 = the kept tokens carry as much
+    attention as an oracle top-k selection; the quantity the reference's
+    selection maximizes, pradeep/using_attention.py:136-147). Also returns
+    raw top-k SET agreement at those layers for reference.
+
+    Returns (mass_capture, set_agreement).
+    """
     import numpy as np
 
+    import jax.numpy as jnp
+
     from vit_pruning_tpu.ops.masking import rank_keep_mask
+
+    L = config.num_layers
+    sched = pcfg.keep_schedule or tuple([pcfg.top_k] + [0] * (L - 1))
+    decide_layers = [i for i, k in enumerate(sched) if k]
 
     p_eval = pcfg.replace(mode="topk", keep_schedule=None)
     fwd = jax.jit(lambda p, v: pruned_vit_forward(
         p, v, config, p_eval, compute_oracle=True,
         rng=jax.random.PRNGKey(0)))
-    agree = []
+    capture, agree = [], []
     for batch in test_b:
         out = fwd(params, batch["pixel_values"])
-        pred = rank_keep_mask(out["scores"], pcfg.top_k)           # [L,B,N]
-        target = rank_keep_mask(out["aux"]["attn_target"], pcfg.top_k)
-        agree.append(float(np.mean(np.asarray(pred) == np.asarray(target))))
-    return float(np.mean(agree))
+        for i in decide_layers:
+            k = sched[i]
+            t = np.asarray(out["aux"]["attn_target"][i], np.float64)  # [B,N]
+            pred = np.asarray(rank_keep_mask(out["scores"][i], k))
+            true = np.asarray(rank_keep_mask(jnp.asarray(t), k))
+            capture.append(float(np.mean(
+                (t * pred).sum(-1) / np.maximum((t * true).sum(-1), 1e-12))))
+            agree.append(float(np.mean(pred == true)))
+    return float(np.mean(capture)), float(np.mean(agree))
 
 
 def train_and_eval(config, pcfg, train_b, test_b, args, log,
@@ -325,6 +347,17 @@ def train_and_eval(config, pcfg, train_b, test_b, args, log,
         if best.best_params is not None:
             params = best.best_params
 
+    return measure_preset(params, eval_cfg, pcfg, train_b, test_b, args,
+                          log, structured)
+
+
+def measure_preset(params, eval_cfg, pcfg, train_b, test_b, args, log,
+                   structured):
+    """All post-training measurements for a trained preset: serving-path
+    accuracy (bf16 + int8), measured skip, predictor fidelity, and the
+    structured capacity control. Split from train_and_eval so a preset
+    restored from --headline_ckpt can be re-measured (e.g. after a fidelity
+    -metric change) without retraining."""
     # serving-semantics accuracy + measured skip (progressive path for
     # topk_prog — the configuration the throughput claims are made on)
     acc, _, a0 = evaluate(params, test_b, eval_cfg, pcfg, full_testing=False)
@@ -334,7 +367,7 @@ def train_and_eval(config, pcfg, train_b, test_b, args, log,
 
     with quant_mode("int8"):
         acc_i8, _, _ = evaluate(params, test_b, eval_cfg, pcfg, full_testing=False)
-    mlp_acc, skip = None, None
+    mlp_acc, skip, pred_extra = None, None, {}
     if pcfg.mode != "none":
         skip = float(a0.measured_skip_per_layer.mean())
         # Predictor-vs-oracle accuracy measured the REFERENCE's way: the
@@ -348,11 +381,15 @@ def train_and_eval(config, pcfg, train_b, test_b, args, log,
         if pcfg.loss == "mse_attention":
             # M7-recipe predictors are trained to rank by CLS-attention
             # mass, not to label the similarity oracle — measure fidelity
-            # against the signal they were trained on: per-layer agreement
-            # of the top-k-by-score set with the top-k-by-true-attention
-            # set (re-decide mode, full sequence — the measurement analogue
-            # of pradeep/using_attention.py's selection)
-            mlp_acc = attention_topk_agreement(params, test_b, eval_cfg, pcfg)
+            # against the signal they were trained on, at the layers the
+            # schedule actually decides: attention-mass capture (primary)
+            # + top-k set agreement (reported)
+            mlp_acc, set_agree = attention_topk_agreement(
+                params, test_b, eval_cfg, pcfg)
+            pred_extra["predictor_set_agreement"] = round(set_agree, 4)
+            log(f"predictor fidelity: attention-mass capture {mlp_acc:.4f}, "
+                f"top-k set agreement {set_agree:.4f} "
+                f"(decide layers of the serving schedule)")
         else:
             probe = next(iter(train_b))
             mt = calibrate_mlp_threshold(params, probe, eval_cfg, pcfg)
@@ -375,7 +412,7 @@ def train_and_eval(config, pcfg, train_b, test_b, args, log,
             params, test_b, eval_cfg,
             PruneConfig(mode="none", predictor="none"), full_testing=False,
         )
-    return acc, acc_i8, mlp_acc, skip, acc_structural, params
+    return acc, acc_i8, mlp_acc, skip, acc_structural, params, pred_extra
 
 
 def main():
@@ -427,6 +464,10 @@ def main():
     ap.add_argument("--predictor_hidden", type=int, default=64,
                     help="predictor MLP hidden width (PruneConfig default 64; "
                     "the reference uses ~500 on 768-dim ViT-B tokens)")
+    ap.add_argument("--headline_ckpt", default=None,
+                    help="cache the trained headline preset here (orbax): "
+                    "restore + re-measure if present (no retraining), else "
+                    "train and save")
     ap.add_argument("--dense_ckpt", default=None,
                     help="cache the trained dense baseline here (orbax): "
                     "restore if present, else train and save — makes preset "
@@ -461,8 +502,6 @@ def main():
 
     dense_params = None
     if args.dense_ckpt:
-        import os
-
         from vit_pruning_tpu.checkpoint import restore_checkpoint, save_checkpoint
         from vit_pruning_tpu.models.pruned_vit import init_pruned_vit_params
         from vit_pruning_tpu.train.harness import evaluate as _eval
@@ -485,7 +524,7 @@ def main():
                     full_testing=False)
     if dense_params is None:
         log("training dense baseline…")
-        dense_acc, dense_acc_i8, _, _, _, dense_params = train_and_eval(
+        dense_acc, dense_acc_i8, _, _, _, dense_params, _ = train_and_eval(
             config, PruneConfig(mode="none", predictor="none"), train_b, test_b,
             args, log,
         )
@@ -551,14 +590,33 @@ def main():
     all_pass = True
     headline_params = None
     for name, spec in presets.items():
-        log(f"training {name} preset…")
-        acc, acc_i8, mlp_acc, skip, acc_structural, trained = train_and_eval(
-            config, spec["pcfg"], train_b, test_b, args, log,
-            base_params=(headline_params or dense_params) if spec["structured"]
-            else dense_params,
-            structured=spec["structured"],
-            teacher=(dense_params, config),
-        )
+        ckpt = args.headline_ckpt if name == "headline" else None
+        if ckpt and os.path.exists(ckpt):
+            from vit_pruning_tpu.checkpoint import restore_checkpoint
+
+            log(f"restoring {name} preset from {ckpt} (re-measure only)")
+            like = init_pruned_vit_params(
+                jax.random.PRNGKey(42), config, spec["pcfg"])
+            trained = restore_checkpoint(ckpt, like)
+            (acc, acc_i8, mlp_acc, skip, acc_structural,
+             trained, pred_extra) = measure_preset(
+                trained, config, spec["pcfg"], train_b, test_b, args, log,
+                structured=False)
+        else:
+            log(f"training {name} preset…")
+            (acc, acc_i8, mlp_acc, skip, acc_structural, trained,
+             pred_extra) = train_and_eval(
+                config, spec["pcfg"], train_b, test_b, args, log,
+                base_params=(headline_params or dense_params) if spec["structured"]
+                else dense_params,
+                structured=spec["structured"],
+                teacher=(dense_params, config),
+            )
+            if ckpt:
+                from vit_pruning_tpu.checkpoint import save_checkpoint
+
+                save_checkpoint(ckpt, trained)
+                log(f"saved {name} preset to {ckpt}")
         if name == "headline":
             headline_params = trained
         drop = dense_acc - acc
@@ -593,9 +651,10 @@ def main():
             "delta_int8": round(dense_acc - acc_i8, 4),
             "budget": budget,
             "predictor_accuracy": round(mlp_acc, 4) if mlp_acc is not None else None,
-            "predictor_metric": ("topk_vs_attention"
+            "predictor_metric": ("attention_mass_capture"
                                  if spec["pcfg"].loss == "mse_attention"
                                  else "mask_vs_oracle"),
+            **pred_extra,
             "measured_skip": round(skip, 4),
             "target_skip": round(spec["target_skip"], 4),
             "gates": gates,
@@ -610,14 +669,24 @@ def main():
 
     results["pass"] = bool(all_pass)
     if args.merge_into:
-        import os
-
         existing = {}
         if os.path.exists(args.merge_into):
             with open(args.merge_into) as fh:
                 existing = json.load(fh)
         if args.section:
-            existing[args.section] = results
+            # preset-level merge: a --preset headline rerun must not drop
+            # the section's existing composed entry (and vice versa)
+            old = existing.get(args.section, {})
+            if isinstance(old, dict) and old.get("presets"):
+                merged = dict(old)
+                merged.update({k: v for k, v in results.items()
+                               if k != "presets"})
+                merged["presets"] = {**old["presets"], **results["presets"]}
+                merged["pass"] = bool(all(
+                    p.get("pass") for p in merged["presets"].values()))
+                existing[args.section] = merged
+            else:
+                existing[args.section] = results
         else:
             existing.update(results)
         with open(args.merge_into, "w") as fh:

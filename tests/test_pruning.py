@@ -210,8 +210,8 @@ def test_attn_target_exposed_and_agreement_is_one_for_oracle_scores():
 
     images, labels = synthetic_dataset(n=8, image_size=CFG.image_size, num_labels=4)
     tb = Batches(images, labels, batch_size=8, image_size=CFG.image_size)
-    a = attention_topk_agreement(params, tb, CFG, pcfg)
-    assert 0.0 <= a <= 1.0
+    cap, agree = attention_topk_agreement(params, tb, CFG, pcfg)
+    assert 0.0 <= cap <= 1.5 and 0.0 <= agree <= 1.0
 
 
 def test_rank_keep_mask_matches_topk():
