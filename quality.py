@@ -25,7 +25,12 @@ Gates per pruned preset (reference anchors in BASELINE.md):
 Presets: 'headline' = 50% top-k token skip (the bench.py default config);
 'composed' = structured pruning (half heads, half MLP channels, trained from
 init) + the aggressive keep schedule — the 3x+ throughput configuration whose
-accuracy budget round 1 left unvalidated. 'both' runs the two in sequence.
+accuracy budget round 1 left unvalidated; 'mask' = the headline's trained
+predictor SERVED through the thresholded mask path with the per-image budget
+cap (the exact config of bench.py's `--mode mask --mask_budget --mask_calibrate`
+row) — same weights, different serving semantics, so it reuses the in-run
+headline or --headline_ckpt instead of retraining. 'both' runs
+headline+composed; 'all' runs all three.
 
 --data_path <dir with cifar-100-python/> runs the same gate flow on real
 CIFAR-100 at the gate-model scale (32x32 inputs). The full reference
@@ -149,6 +154,23 @@ def calibrate_mlp_threshold(params, batch, config, pcfg):
     )
 
 
+def calibrate_serving_mask_threshold(params, batch, config, pcfg, keep_rate):
+    """Per-layer SCORE quantiles that pin the thresholded keep-rate near
+    keep_rate — bench.py's `--mask_calibrate` semantics (bench.py:269-288),
+    at the gate's target rate instead of the fixed median. Probed on a
+    dense measure_only pass (M13 semantics: masks/scores computed, dense
+    execution); cascade drift from re-thresholding upstream layers is
+    accepted — the skip gate (c) verifies the measured density."""
+    import numpy as np
+
+    probe_cfg = pcfg.replace(mode="mask", mlp_threshold=0.5, mask_budget=None,
+                             keep_schedule=None, measure_only=True)
+    out = pruned_vit_forward(params, batch["pixel_values"], config, probe_cfg)
+    scores = np.asarray(out["scores"], np.float32)  # [L, B, N]
+    return tuple(float(np.quantile(scores[l], 1.0 - keep_rate))
+                 for l in range(scores.shape[0]))
+
+
 def attention_topk_agreement(params, test_b, config, pcfg):
     """Predictor fidelity for M7-recipe (mse_attention) predictors.
 
@@ -163,7 +185,9 @@ def attention_topk_agreement(params, test_b, config, pcfg):
     mass the true top-k set captures (1.0 = the kept tokens carry as much
     attention as an oracle top-k selection; the quantity the reference's
     selection maximizes, pradeep/using_attention.py:136-147). Also returns
-    raw top-k SET agreement at those layers for reference.
+    top-k SET agreement at those layers for reference — |pred ∩ true| / k
+    (NOT positionwise mask equality, which counts true negatives and reads
+    ~0.9 for disjoint sets at k << N).
 
     Returns (mass_capture, set_agreement).
     """
@@ -171,11 +195,16 @@ def attention_topk_agreement(params, test_b, config, pcfg):
 
     import jax.numpy as jnp
 
+    from vit_pruning_tpu.models.pruned_vit import _is_active
     from vit_pruning_tpu.ops.masking import rank_keep_mask
 
     L = config.num_layers
     sched = pcfg.keep_schedule or tuple([pcfg.top_k] + [0] * (L - 1))
-    decide_layers = [i for i, k in enumerate(sched) if k]
+    # only layers where the serving schedule actually decides: a drop entry
+    # at a layer active_layers disables never re-decides, and the eval
+    # forward's inactive branch returns dummy scores that would grade as 0
+    decide_layers = [i for i, k in enumerate(sched)
+                     if k and _is_active(pcfg, i)]
 
     p_eval = pcfg.replace(mode="topk", keep_schedule=None)
     fwd = jax.jit(lambda p, v: pruned_vit_forward(
@@ -191,7 +220,7 @@ def attention_topk_agreement(params, test_b, config, pcfg):
             true = np.asarray(rank_keep_mask(jnp.asarray(t), k))
             capture.append(float(np.mean(
                 (t * pred).sum(-1) / np.maximum((t * true).sum(-1), 1e-12))))
-            agree.append(float(np.mean(pred == true)))
+            agree.append(float(np.mean((pred & true).sum(-1) / k)))
     return float(np.mean(capture)), float(np.mean(agree))
 
 
@@ -415,10 +444,13 @@ def measure_preset(params, eval_cfg, pcfg, train_b, test_b, args, log,
     return acc, acc_i8, mlp_acc, skip, acc_structural, params, pred_extra
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", choices=["headline", "composed", "both"],
-                    default="headline")
+    ap.add_argument("--preset",
+                    choices=["headline", "composed", "mask", "both", "all"],
+                    default="headline",
+                    help="'both' = headline+composed (round-2 surface); "
+                    "'all' adds the mask serving preset")
     ap.add_argument("--skip", type=float, default=0.5)
     ap.add_argument("--max_drop", type=float, default=0.005)
     ap.add_argument("--min_predictor_acc", type=float, default=0.85)
@@ -482,7 +514,7 @@ def main():
                     "(e.g. quality_results.json)")
     ap.add_argument("--section", default=None,
                     help="section key for --merge_into (e.g. deit_small_224)")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
@@ -495,7 +527,7 @@ def main():
     # the tiny gate-model shapes)
     from vit_pruning_tpu.ops.dispatch import set_kernel_mode
 
-    set_kernel_mode(args.kernels if args.kernels != "auto" else "auto")
+    set_kernel_mode(args.kernels)
 
     config, train_b, test_b = build_task(args)
     n = config.num_patches
@@ -544,7 +576,7 @@ def main():
         return 2
 
     presets = {}
-    if args.preset in ("headline", "both"):
+    if args.preset in ("headline", "both", "all"):
         k = max(1, int(round(n * (1.0 - args.skip))))
         # at bench scale the headline preset IS the benched serving config
         # (bench.py default: mode='topk_prog', top_k=98, no schedule); the
@@ -560,7 +592,30 @@ def main():
             target_skip=1.0 - (k + 1) / (n + 1),
             structured=False, check_predictor=True,
         )
-    if args.preset in ("composed", "both"):
+    if args.preset in ("mask", "all"):
+        k = max(1, int(round(n * (1.0 - args.skip))))
+        headline_mode = "topk_prog" if args.gate_model == "deit_small" else "topk"
+        presets["mask"] = dict(
+            # TRAINING config = the headline recipe (same predictor, same
+            # signal); the serving config is swapped to the thresholded mask
+            # path (mode='mask' + calibrated per-layer thresholds +
+            # mask_budget cap) after training — the exact configuration the
+            # bench.py mask-mode throughput row measures
+            pcfg=PruneConfig(mode=headline_mode, predictor="cls_mlp",
+                             loss=args.headline_loss, top_k=k,
+                             sim_threshold=args.sim_threshold,
+                             predictor_hidden=args.predictor_hidden),
+            target_skip=1.0 - (k + 1) / (n + 1),
+            structured=False,
+            # the predictor itself is gated by the headline preset (same
+            # weights); the mask preset's own fidelity number is reported
+            # (mse_attention: layer-0 attention-mass capture; bce_oracle:
+            # calibrated mask-vs-oracle accuracy) but gates only when the
+            # bce metric applies
+            check_predictor=(args.headline_loss == "bce_oracle"),
+            serve_mask_budget=k,
+        )
+    if args.preset in ("composed", "both", "all"):
         from vit_pruning_tpu.configs import composed_schedule, schedule_live
 
         schedule = composed_schedule(n, config.num_layers)
@@ -590,19 +645,21 @@ def main():
     all_pass = True
     headline_params = None
     for name, spec in presets.items():
-        ckpt = args.headline_ckpt if name == "headline" else None
-        if ckpt and os.path.exists(ckpt):
+        # the mask preset serves the HEADLINE's weights (same predictor,
+        # different serving semantics), so both share --headline_ckpt
+        ckpt = args.headline_ckpt if name in ("headline", "mask") else None
+        trained, measured = None, False
+        if name == "mask" and headline_params is not None:
+            log("mask preset: serving the in-run trained headline weights")
+            trained = headline_params
+        elif ckpt and os.path.exists(ckpt):
             from vit_pruning_tpu.checkpoint import restore_checkpoint
 
             log(f"restoring {name} preset from {ckpt} (re-measure only)")
             like = init_pruned_vit_params(
                 jax.random.PRNGKey(42), config, spec["pcfg"])
             trained = restore_checkpoint(ckpt, like)
-            (acc, acc_i8, mlp_acc, skip, acc_structural,
-             trained, pred_extra) = measure_preset(
-                trained, config, spec["pcfg"], train_b, test_b, args, log,
-                structured=False)
-        else:
+        if trained is None:
             log(f"training {name} preset…")
             (acc, acc_i8, mlp_acc, skip, acc_structural, trained,
              pred_extra) = train_and_eval(
@@ -612,11 +669,31 @@ def main():
                 structured=spec["structured"],
                 teacher=(dense_params, config),
             )
-            if ckpt:
+            measured = True
+            if ckpt and name == "headline":
                 from vit_pruning_tpu.checkpoint import save_checkpoint
 
                 save_checkpoint(ckpt, trained)
                 log(f"saved {name} preset to {ckpt}")
+        if spec.get("serve_mask_budget") is not None:
+            # swap to the serving configuration the bench.py mask row
+            # measures: per-layer thresholds calibrated to the target
+            # keep-rate + the per-image density cap (VERDICT r2 #3)
+            probe = next(iter(train_b))
+            mt = calibrate_serving_mask_threshold(
+                trained, probe, config, spec["pcfg"],
+                keep_rate=1.0 - args.skip)
+            log("calibrated serving mlp_threshold = "
+                + ", ".join(f"{v:.3f}" for v in mt))
+            spec["pcfg"] = spec["pcfg"].replace(
+                mode="mask", mlp_threshold=mt,
+                mask_budget=spec["serve_mask_budget"], keep_schedule=None)
+            measured = False
+        if not measured:
+            (acc, acc_i8, mlp_acc, skip, acc_structural,
+             trained, pred_extra) = measure_preset(
+                trained, config, spec["pcfg"], train_b, test_b, args, log,
+                structured=False)
         if name == "headline":
             headline_params = trained
         drop = dense_acc - acc
@@ -649,6 +726,10 @@ def main():
             "pruned_top1_int8": round(acc_i8, 4),
             "delta": round(drop, 4),
             "delta_int8": round(dense_acc - acc_i8, 4),
+            # the dense baseline THIS preset's deltas were computed against —
+            # a later --merge_into run may retrain dense and overwrite the
+            # section-level dense_top1, so each preset pins its own
+            "dense_top1": round(dense_acc, 4),
             "budget": budget,
             "predictor_accuracy": round(mlp_acc, 4) if mlp_acc is not None else None,
             "predictor_metric": ("attention_mass_capture"
@@ -682,6 +763,17 @@ def main():
                 merged.update({k: v for k, v in results.items()
                                if k != "presets"})
                 merged["presets"] = {**old["presets"], **results["presets"]}
+                # baselines may differ across merged runs (each preset pins
+                # its own dense_top1); flag it rather than silently
+                # certifying deltas against mixed baselines
+                bases = {p.get("dense_top1") for p in merged["presets"].values()
+                         if p.get("dense_top1") is not None}
+                if len(bases) > 1:
+                    merged["mixed_dense_baselines"] = sorted(bases)
+                    log(f"WARNING: merged presets were measured against "
+                        f"different dense baselines {sorted(bases)}; "
+                        f"re-run all presets with --dense_ckpt for a "
+                        f"single-baseline section")
                 merged["pass"] = bool(all(
                     p.get("pass") for p in merged["presets"].values()))
                 existing[args.section] = merged

@@ -118,3 +118,23 @@ def test_prefetch_batches_propagates_worker_errors_and_rejects_bad_depth():
         next(it)
     with pytest.raises(ValueError):
         PrefetchBatches(Boom(), depth=0)
+
+
+def test_prefetch_batches_abandoned_iterator_releases_worker():
+    """Closing/abandoning a prefetch iterator must stop its worker thread
+    (the generator's finally sets the stop event) — a blocked q.put would
+    otherwise pin depth+1 prefetched batches for the process lifetime."""
+    import threading
+    import time
+
+    from vit_pruning_tpu.data.datasets import PrefetchBatches
+
+    before = threading.active_count()
+    src = [{"x": i} for i in range(100)]
+    it = iter(PrefetchBatches(src, depth=1))
+    assert next(it)["x"] == 0
+    it.close()  # abandon mid-epoch -> finally -> stop.set()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() == before, "prefetch worker did not exit"

@@ -272,3 +272,35 @@ def test_pruned_pipeline_composes_with_data_parallelism():
     )(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_pruned_pipeline_shared_predictor_replicates():
+    """A shared predictor whose leaf shapes coincide with [L] must replicate,
+    not shard over 'stage' (the spec keys on the 'shared_' naming contract):
+    common_mlp with predictor_hidden == num_layers puts a [L]-shaped bias in
+    the tree, which the old shape-based heuristic split across stages."""
+    from vit_pruning_tpu.models.pruned_vit import (
+        init_pruned_vit_params,
+        progressive_topk_forward,
+    )
+    from vit_pruning_tpu.parallel.pipeline import (
+        make_stage_mesh,
+        pruned_pipeline_forward,
+    )
+
+    cfg = ViTConfig(image_size=16, patch_size=4, hidden_size=32, num_layers=4,
+                    num_heads=2, mlp_dim=64, num_labels=5)
+    pcfg = PruneConfig(mode="topk_prog", predictor="common_mlp",
+                       predictor_hidden=4,  # == num_layers: shape collision
+                       keep_schedule=(10, 0, 6, 0))
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), cfg, pcfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 16, 16))
+
+    want = progressive_topk_forward(params, x, cfg, pcfg, use_pallas=False)["logits"]
+    mesh = make_stage_mesh(2)
+    got = jax.jit(
+        lambda p, v: pruned_pipeline_forward(p, v, cfg, pcfg, mesh,
+                                             num_microbatches=4)
+    )(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

@@ -405,3 +405,27 @@ def test_progressive_drop_rank_form_matches_topk_form():
     xc = jnp.einsum("brt,btd->brd", P.astype(xt.dtype), xt)
     keepx, keepc = _progressive_drop_topk(xt, s, 2)
     np.testing.assert_allclose(np.asarray(xc), np.asarray(keepx), rtol=0, atol=0)
+
+
+def test_attention_agreement_skips_inactive_drop_layers():
+    """quality.py's fidelity metric must grade only layers the serving
+    schedule actually decides at: a keep_schedule drop that active_layers
+    disables returns dummy scores/targets from the eval forward (capture 0,
+    tie-broken agreement 1) and must not dilute the metric."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from quality import attention_topk_agreement
+    from vit_pruning_tpu.data.datasets import Batches, synthetic_dataset
+
+    images, labels = synthetic_dataset(n=8, image_size=CFG.image_size, num_labels=4)
+    tb = Batches(images, labels, batch_size=8, image_size=CFG.image_size)
+    common = dict(mode="topk_prog", predictor="cls_mlp", loss="mse_attention",
+                  top_k=6, active_layers=(2,))
+    # drop scheduled at layer 0 but layer 0 is INACTIVE -> never decided
+    pcfg_a = PruneConfig(keep_schedule=(6, 0, 6, 0), **common)
+    # control: no entry at layer 0 at all — identical serving decisions
+    pcfg_b = PruneConfig(keep_schedule=(0, 0, 6, 0), **common)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg_a)
+    cap_a, agree_a = attention_topk_agreement(params, tb, CFG, pcfg_a)
+    cap_b, agree_b = attention_topk_agreement(params, tb, CFG, pcfg_b)
+    assert cap_a == cap_b and agree_a == agree_b

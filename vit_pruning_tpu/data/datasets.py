@@ -241,13 +241,18 @@ class Batches:
         """Pin the shuffle order to an epoch index (exact training resume)."""
         self._epoch = epoch
 
-    def __iter__(self) -> Iterator[dict]:
+    def _batch_indices(self) -> Iterator[np.ndarray]:
+        """Epoch-pinned iteration order — the single definition of batch
+        order/reshuffle semantics, shared by every batcher subclass."""
         order = np.arange(len(self.images))
         if self.shuffle:
             order = np.random.RandomState(self.seed + self._epoch).permutation(order)
             self._epoch += 1
         for i in range(len(self)):
-            idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+            yield order[i * self.batch_size : (i + 1) * self.batch_size]
+
+    def __iter__(self) -> Iterator[dict]:
+        for idx in self._batch_indices():
             yield {
                 "pixel_values": self._pre(jnp.asarray(self.images[idx])),
                 "labels": jnp.asarray(self.labels[idx]),
@@ -280,12 +285,7 @@ class DeviceBatches(Batches):
         self._fetch = fetch
 
     def __iter__(self) -> Iterator[dict]:
-        order = np.arange(len(self.images))
-        if self.shuffle:
-            order = np.random.RandomState(self.seed + self._epoch).permutation(order)
-            self._epoch += 1
-        for i in range(len(self)):
-            idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+        for idx in self._batch_indices():
             yield self._fetch(self._dev_images, self._dev_labels,
                               jnp.asarray(idx, jnp.int32))
 
@@ -309,9 +309,11 @@ class PrefetchBatches:
 
     depth=2 double-buffers: one batch in flight, one queued. Exceptions in
     the worker (e.g. a decode error) re-raise at the consuming step, not
-    silently. Each `iter()` drains through a fresh worker; an abandoned
-    iterator's worker exits when its bounded queue fills (daemon thread,
-    no join needed).
+    silently. Each `iter()` drains through a fresh worker; abandoning the
+    iterator (exception, early break, generator GC) signals the worker via
+    a stop event in the generator's `finally`, so it exits promptly instead
+    of blocking on the full queue and pinning `depth` device-resident
+    batches for the process lifetime.
     """
 
     def __init__(self, inner, depth: int = 2):
@@ -336,21 +338,36 @@ class PrefetchBatches:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         _END = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            """Blocking put that aborts when the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in self.inner:
-                    q.put(batch)
-                q.put(_END)
+                    if not put(batch):
+                        return
+                put(_END)
             except BaseException as e:  # propagate to the consumer
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -68,7 +68,13 @@ def _apply_mlp(params, x, final_sigmoid=True, hidden_act=jax.nn.relu):
 def init_predictor_params(
     key: jax.Array, config: ViTConfig, pcfg: PruneConfig
 ) -> Optional[dict]:
-    """Build the predictor pytree for all layers (None for predictor='none')."""
+    """Build the predictor pytree for all layers (None for predictor='none').
+
+    Naming contract: top-level keys prefixed 'shared_' hold ONE set of
+    weights used at every layer; all other top-level subtrees are stacked
+    [L, ...] on their leading axis. parallel/pipeline.py keys its per-stage
+    sharding specs on this prefix — keep it when adding predictor kinds.
+    """
     kind = pcfg.predictor
     if kind == "none":
         return None

@@ -55,13 +55,29 @@ def pipeline_forward(
     config: ViTConfig,
     mesh: Mesh,
     num_microbatches: int = 4,
+    use_pallas: bool | None = None,
+    quant: str | None = None,
 ) -> jnp.ndarray:
     """Dense ViT forward with encoder layers pipelined across mesh('stage').
 
     Returns logits [B, num_labels]. num_microbatches must divide B.
     Embed and the classifier head run replicated (they are a tiny fraction
     of the FLOPs); only the L encoder layers are staged.
+
+    use_pallas/quant default to the dispatch-module resolution (Pallas on
+    TPU, serving-quant global) — resolved HERE so the stage computation
+    matches the single-chip entry points; pass them explicitly when wrapping
+    this in a persistent jax.jit closure (ops/dispatch.set_serving_quant's
+    tracing note).
     """
+    if use_pallas is None:
+        from vit_pruning_tpu.ops.dispatch import use_pallas as _resolve
+
+        use_pallas = _resolve()
+    if quant is None:
+        from vit_pruning_tpu.ops.dispatch import serving_quant
+
+        quant = serving_quant()
     stages = mesh.shape["stage"]
     L = config.num_layers
     if L % stages:
@@ -100,7 +116,8 @@ def pipeline_forward(
 
         def stage_compute(x):
             def body(i, h):
-                return vit_layer(h, _layer_slice(local_layers, i), config)
+                return vit_layer(h, _layer_slice(local_layers, i), config,
+                                 use_pallas=use_pallas, quant=quant)
             return jax.lax.fori_loop(0, per_stage, body, x)
 
         def step(t, carry):
@@ -147,6 +164,8 @@ def pruned_pipeline_forward(
     pcfg,
     mesh: Mesh,
     num_microbatches: int = 4,
+    use_pallas: bool | None = None,
+    quant: str | None = None,
 ) -> jnp.ndarray:
     """topk_prog serving forward with encoder layers pipelined over
     mesh('stage') — the pruned counterpart of `pipeline_forward` (VERDICT r2
@@ -180,6 +199,16 @@ def pruned_pipeline_forward(
 
     if pcfg.mode != "topk_prog":
         raise ValueError(f"pruned pipeline serves mode='topk_prog', got {pcfg.mode!r}")
+    # resolve kernel/quant dispatch at this entry point, like the single-chip
+    # serving paths (pruned_vit_forward) — see pipeline_forward's docstring
+    if use_pallas is None:
+        from vit_pruning_tpu.ops.dispatch import use_pallas as _resolve
+
+        use_pallas = _resolve()
+    if quant is None:
+        from vit_pruning_tpu.ops.dispatch import serving_quant
+
+        quant = serving_quant()
     stages = mesh.shape["stage"]
     L = config.num_layers
     if L % stages:
@@ -217,11 +246,15 @@ def pruned_pipeline_forward(
     # stacked per-layer leaves ([L, ...]) shard over 'stage'; shared leaves
     # (e.g. common_mlp's one MLP) replicate
     layers_spec = jax.tree.map(lambda _: P("stage"), backbone["layers"])
-    pred_spec = jax.tree.map(
-        lambda a: P("stage") if (hasattr(a, "ndim") and a.ndim >= 1
-                                 and a.shape[0] == L) else P(),
-        pred,
-    )
+    # predictor subtrees are stacked [L, ...] per layer EXCEPT the ones
+    # init_predictor_params names with a 'shared_' prefix (one set of weights
+    # used at every layer) — key the sharding on that naming contract, not on
+    # leaf shapes (a shared leaf can coincidentally have leading dim == L)
+    pred_spec = None if pred is None else {
+        k: jax.tree.map(lambda _, spec=(P() if k.startswith("shared_")
+                                        else P("stage")): spec, sub)
+        for k, sub in pred.items()
+    }
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -248,7 +281,8 @@ def pruned_pipeline_forward(
                             x, local_pred, j, schedule[g], config, pcfg,
                             layer_params=lp,
                         )
-                    x = vit_layer(x, lp, config)
+                    x = vit_layer(x, lp, config, use_pallas=use_pallas,
+                                  quant=quant)
                 return jnp.pad(x, ((0, 0), (0, s_len - x.shape[1]), (0, 0)))
 
             return br
