@@ -119,7 +119,13 @@ def main():
     except Exception:
         pass
 
-    from vit_pruning_tpu.configs import PruneConfig, deit_base, deit_small, deit_tiny
+    from vit_pruning_tpu.configs import (
+        PruneConfig,
+        deit_base,
+        deit_small,
+        deit_tiny,
+        vit_large,
+    )
     from vit_pruning_tpu.models.pruned_vit import (
         init_pruned_vit_params,
         progressive_topk_forward,
@@ -130,7 +136,8 @@ def main():
 
     set_kernel_mode(args.kernels)
 
-    models = {"deit_tiny": deit_tiny, "deit_small": deit_small, "deit_base": deit_base}
+    models = {"deit_tiny": deit_tiny, "deit_small": deit_small,
+              "deit_base": deit_base, "vit_large": vit_large}
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     def measure(model_name: str, skip: float, mode: str) -> dict:

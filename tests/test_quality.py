@@ -1,0 +1,109 @@
+"""quality.py driver logic: the mask serving preset (bench.py's
+`--mode mask --mask_budget --mask_calibrate` row) and its calibration.
+
+The training-free pieces run for real (threshold calibration, mask-mode
+serving forward); the expensive train/measure phases are faked so the test
+exercises the preset wiring — headline-weight reuse, serving-config swap,
+gates, JSON shape — in seconds.
+"""
+
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vit_pruning_tpu.configs import PruneConfig, ViTConfig
+from vit_pruning_tpu.models.pruned_vit import (
+    init_pruned_vit_params,
+    pruned_vit_forward,
+)
+
+CFG = ViTConfig(image_size=16, patch_size=4, hidden_size=32, num_layers=4,
+                num_heads=2, mlp_dim=64, num_labels=8)
+
+
+def test_calibrate_serving_mask_threshold_pins_keep_rate_and_budget():
+    from quality import calibrate_serving_mask_threshold
+
+    pcfg = PruneConfig(mode="topk", predictor="cls_mlp", top_k=8)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 3, 16, 16))
+    mt = calibrate_serving_mask_threshold(
+        params, {"pixel_values": x}, CFG, pcfg, keep_rate=0.5)
+    assert len(mt) == CFG.num_layers
+
+    budget = 8  # n=16 patches -> 50% cap
+    serve = pcfg.replace(mode="mask", mlp_threshold=mt, mask_budget=budget,
+                         keep_schedule=None)
+    out = pruned_vit_forward(params, x, CFG, serve)
+    masks = np.asarray(out["keep_masks"])  # [L, B, S]
+    # the budget cap is strict per image at every layer (CLS excluded)
+    assert masks[:, :, 1:].sum(-1).max() <= budget
+    # thresholds were calibrated to ~50% keep; allow cascade drift + the cap
+    density = masks[:, :, 1:].mean()
+    assert 0.2 <= density <= 0.62
+
+
+def test_quality_mask_preset_serves_headline_weights(monkeypatch, capsys):
+    """--preset all: the mask preset must reuse the trained headline weights
+    (no third training run) and be measured on the swapped serving config
+    (mode='mask', calibrated thresholds, mask_budget cap)."""
+    import quality
+
+    calls = {"trained": [], "train_params": [], "measured": [],
+             "measured_params": []}
+
+    def fake_train_and_eval(config, pcfg, train_b, test_b, args, log,
+                            base_params=None, structured=False, teacher=None):
+        params = init_pruned_vit_params(jax.random.PRNGKey(42), config, pcfg)
+        calls["trained"].append(pcfg.mode)
+        calls["train_params"].append(params)
+        acc_structural = 0.88 if structured else None
+        skip = 0.64 if structured else 0.5  # near each preset's target
+        return (0.9, 0.9, 0.9, skip, acc_structural, params, {})
+
+    def fake_measure_preset(params, eval_cfg, pcfg, train_b, test_b, args,
+                            log, structured):
+        calls["measured"].append(pcfg)
+        calls["measured_params"].append(params)
+        return (0.9, 0.9, 0.9, 0.5, None, params, {})
+
+    monkeypatch.setattr(quality, "train_and_eval", fake_train_and_eval)
+    monkeypatch.setattr(quality, "measure_preset", fake_measure_preset)
+
+    from vit_pruning_tpu.ops.dispatch import set_kernel_mode
+
+    try:
+        rc = quality.main([
+            "--preset", "all", "--train_size", "64", "--test_size", "32",
+            "--batch", "16",
+        ])
+    finally:
+        set_kernel_mode("auto")
+    assert rc == 0
+    results = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # exactly three training runs: dense, headline, composed — NOT mask
+    assert calls["trained"] == ["none", "topk", "topk_prog"]
+    # measure_preset called once (mask); headline/composed measure inside
+    # train_and_eval
+    assert len(calls["measured"]) == 1
+    serve = calls["measured"][0]
+    assert serve.mode == "mask" and serve.mask_budget is not None
+    assert isinstance(serve.mlp_threshold, tuple)
+    assert len(serve.mlp_threshold) == 6  # gate model layers
+    # the mask preset served the HEADLINE's weights (train call #1)
+    assert calls["measured_params"][0] is calls["train_params"][1]
+
+    m = results["presets"]["mask"]
+    assert m["serving_config"]["mode"] == "mask"
+    n = 64  # gate model: 32/4 grid
+    assert m["serving_config"]["mask_budget"] == n // 2
+    assert set(m["gates"]) >= {"delta", "delta_int8", "skip", "predictor"}
+    assert results["pass"] is True

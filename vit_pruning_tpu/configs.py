@@ -88,6 +88,16 @@ def deit_base(num_labels: int = 1000) -> ViTConfig:
     return ViTConfig(num_labels=num_labels)
 
 
+def vit_large(num_labels: int = 1000) -> ViTConfig:
+    """ViT-L/16 @224. Beyond the reference's largest model (ViT-B) — the
+    composed preset's speedup grows with width/depth, so this row extends
+    the scaling story; same architecture family, no new code paths."""
+    return ViTConfig(
+        hidden_size=1024, num_layers=24, num_heads=16, mlp_dim=4096,
+        num_labels=num_labels,
+    )
+
+
 def vit_tiny(num_labels: int = 10) -> ViTConfig:
     """A tiny CPU-testable config (not a published model)."""
     return ViTConfig(
