@@ -304,3 +304,59 @@ def test_pruned_pipeline_shared_predictor_replicates():
     )(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_zero1_moments_shard_over_data_and_match_dense_step():
+    """ZeRO-1 (zero1=True): Adam moments of replicated params shard over
+    'data' (optimizer memory drops data-fold), moments of model-sharded
+    params additionally shard, and the numerics match the non-ZeRO step."""
+    mesh = make_mesh(data=4, model=2)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, PCFG)
+    params = shard_params(params, mesh)
+    optimizer = masked_adam(params, "vit_mlp_train", 1e-3)
+    batch = shard_batch(_batch(), mesh)
+    rng = jax.random.PRNGKey(1)
+
+    step = make_parallel_train_step(CFG, PCFG, "both", optimizer, mesh, params)
+    pA, _, _ = step(jax.tree.map(lambda a: a.copy(), params),
+                    optimizer.init(params), batch, rng)
+    from vit_pruning_tpu.parallel import init_sharded_opt_state
+
+    stepZ = make_parallel_train_step(CFG, PCFG, "both", optimizer, mesh,
+                                     params, zero1=True)
+    optZ0 = init_sharded_opt_state(optimizer, params, mesh, zero1=True)
+    pZ, optZ, _ = stepZ(params, optZ0, batch, rng)
+
+    d = max(
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree.leaves(pA), jax.tree.leaves(pZ))
+    )
+    assert d < 1e-5
+
+    def find_moment(state):
+        if isinstance(state, dict):
+            if "backbone" in state:
+                return state
+            for c in state.values():
+                r = find_moment(c)
+                if r is not None:
+                    return r
+        elif hasattr(state, "_fields") or isinstance(state, (tuple, list)):
+            for c in state:
+                r = find_moment(c)
+                if r is not None:
+                    return r
+        return None
+
+    mu = find_moment(optZ)
+    assert mu is not None
+    # fc1.w param spec is (None, None, 'model'); its moment adds 'data' on
+    # the first free, divisible axis
+    fc1 = mu["backbone"]["layers"]["mlp"]["fc1"]["w"]
+    assert "data" in tuple(fc1.sharding.spec)
+    assert "model" in tuple(fc1.sharding.spec)  # ZeRO composes with tp
+    # shard is physically smaller than the full leaf
+    assert fc1.sharding.shard_shape(fc1.shape) != fc1.shape
+    # a replicated param's moment (layernorm gain, [L, D]) also shards
+    ln = mu["backbone"]["layers"]["ln1"]["g"]
+    assert ln.sharding.shard_shape(ln.shape) != ln.shape

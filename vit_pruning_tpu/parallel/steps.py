@@ -61,6 +61,55 @@ def opt_state_shardings(
     return rec(jax.eval_shape(optimizer.init, params_like))
 
 
+def _zero1_spec(arr, spec: P, mesh: Mesh) -> P:
+    """ZeRO-1 moment spec: additionally shard over 'data' on the first
+    unsharded axis that divides the data-axis size. Param specs that
+    already use 'model' keep those placements (ZeRO composes with tp);
+    leaves with no divisible axis stay at the param's sharding."""
+    nd = mesh.shape.get("data", 1)
+    if nd == 1:
+        return spec
+    entries = list(spec) + [None] * (arr.ndim - len(spec))
+    for dim, axis in enumerate(entries):
+        if axis is not None:
+            continue
+        if arr.shape[dim] >= nd and arr.shape[dim] % nd == 0:
+            entries[dim] = "data"
+            return P(*entries)
+    return spec
+
+
+def zero1_pspecs(params_like: dict, mesh: Mesh) -> dict:
+    """Optimizer-moment PartitionSpecs for ZeRO-1: each param's resolved
+    spec with 'data' added on a divisible axis (see _zero1_spec)."""
+    resolved = resolve_pspecs(params_like, mesh)
+    return jax.tree.map(
+        lambda a, s: _zero1_spec(a, s, mesh), params_like, resolved,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def _opt_shardings(optimizer, params_like: dict, mesh: Mesh, zero1: bool):
+    params_sh = _named(mesh, resolve_pspecs(params_like, mesh))
+    rep = NamedSharding(mesh, P())
+    moment_sh = (_named(mesh, zero1_pspecs(params_like, mesh))
+                 if zero1 else params_sh)
+    return opt_state_shardings(optimizer, params_like, moment_sh, rep)
+
+
+def init_sharded_opt_state(
+    optimizer: optax.GradientTransformation, params: dict, mesh: Mesh,
+    zero1: bool = False,
+):
+    """optimizer.init placed with the parallel step's opt-state shardings.
+
+    Required for zero1=True: a plain optimizer.init(params) inherits the
+    params' shardings (moments replicated where params are), which the
+    zero1 step's in_shardings reject for committed arrays."""
+    opt_sh = _opt_shardings(optimizer, params, mesh, zero1)
+    return jax.jit(optimizer.init, out_shardings=opt_sh)(params)
+
+
 def make_parallel_train_step(
     config: ViTConfig,
     pcfg: PruneConfig,
@@ -68,16 +117,27 @@ def make_parallel_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
     params_like: dict,
+    zero1: bool = False,
 ) -> Callable:
     """(params, opt_state, batch, rng) -> (params, opt_state, metrics),
     compiled once over the mesh. Callers shard params/batch with
-    shard_params/shard_batch; opt_state inherits param shardings."""
+    shard_params/shard_batch; opt_state inherits param shardings.
+
+    zero1=True shards the Adam moments over the 'data' axis as well
+    (ZeRO-1 via GSPMD: the moment shardings make XLA reduce-scatter the
+    grads into per-shard updates and all-gather the applied params —
+    optimizer memory drops ~data-axis-fold for replicated params with no
+    manual collectives). The reference has no distributed training at all
+    (SURVEY §2.4); this is the TPU-native scale-out of its single-GPU Adam
+    fine-tune (himanshu/hi_main.py:161-168)."""
     params_sh = _named(mesh, resolve_pspecs(params_like, mesh))
     batch_sh = _named(mesh, batch_pspecs())
     rep = NamedSharding(mesh, P())
     # Adam moments explicitly co-sharded with their params (not left to the
-    # compiler, which could replicate moments of model-sharded params)
-    opt_sh = opt_state_shardings(optimizer, params_like, params_sh, rep)
+    # compiler, which could replicate moments of model-sharded params);
+    # under ZeRO-1 they additionally shard over 'data' — init the state
+    # with init_sharded_opt_state(..., zero1=True) in that case
+    opt_sh = _opt_shardings(optimizer, params_like, mesh, zero1)
 
     def step(params, opt_state, batch, rng):
         (loss, metrics), grads = jax.value_and_grad(
