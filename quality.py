@@ -51,6 +51,7 @@ import os
 import sys
 
 import jax
+import numpy as np
 
 from vit_pruning_tpu.configs import PruneConfig, ViTConfig
 from vit_pruning_tpu.data.datasets import (
@@ -67,6 +68,33 @@ from vit_pruning_tpu.train.harness import evaluate
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _cached_synthetic(n, image_size, num_labels, *, seed, label_noise,
+                      signal_patches, cell):
+    """Disk-cached synthetic_localized_dataset. The 224-scale build is pure
+    host numpy (~6 min for the 8192-image train split) and fully determined
+    by its arguments, so caching is byte-exact; it keeps scarce TPU wall time
+    for the actual train/eval. Cache lives in /tmp (ephemeral by design)."""
+    import hashlib
+
+    key = hashlib.sha1(
+        f"v1:{n}:{image_size}:{num_labels}:{seed}:{label_noise}:"
+        f"{signal_patches}:{cell}".encode()
+    ).hexdigest()[:16]
+    path = f"/tmp/synth_localized_{key}.npz"
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return z["images"], z["labels"]
+    images, labels = synthetic_localized_dataset(
+        n, image_size, num_labels, seed=seed, label_noise=label_noise,
+        signal_patches=signal_patches, cell=cell,
+    )
+    try:
+        np.savez(path, images=images, labels=labels)
+    except OSError as e:  # disk-full etc. — cache is an optimization only
+        log(f"dataset cache write failed ({e}); continuing uncached")
+    return images, labels
 
 
 def build_task(args):
@@ -95,12 +123,12 @@ def build_task(args):
         # patches) these resolve to the round-2 values (cell=4, 8 cells)
         cell = config.patch_size
         signal = max(8, config.num_patches // 8)
-        tr = synthetic_localized_dataset(
+        tr = _cached_synthetic(
             args.train_size, config.image_size, config.num_labels,
             seed=0, label_noise=args.label_noise,
             signal_patches=signal, cell=cell,
         )
-        te = synthetic_localized_dataset(
+        te = _cached_synthetic(
             args.test_size, config.image_size, config.num_labels,
             seed=1, label_noise=args.label_noise,
             signal_patches=signal, cell=cell,

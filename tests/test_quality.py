@@ -107,3 +107,31 @@ def test_quality_mask_preset_serves_headline_weights(monkeypatch, capsys):
     assert m["serving_config"]["mask_budget"] == n // 2
     assert set(m["gates"]) >= {"delta", "delta_int8", "skip", "predictor"}
     assert results["pass"] is True
+
+
+def test_cached_synthetic_roundtrip_byte_identical():
+    """The npz dataset cache must return byte-identical arrays to a fresh
+    build — the cached 224 dataset feeds gates whose checkpoints were trained
+    on the uncached build."""
+    import quality
+    from vit_pruning_tpu.data.datasets import synthetic_localized_dataset
+
+    orig = quality._cached_synthetic
+
+    kw = dict(seed=3, label_noise=0.1, signal_patches=8, cell=4)
+    fresh = synthetic_localized_dataset(32, 32, 16, **kw)
+
+    # first call builds + writes, second call reads the cache
+    import hashlib
+    key = hashlib.sha1(f"v1:32:32:16:3:0.1:8:4".encode()).hexdigest()[:16]
+    cache_file = f"/tmp/synth_localized_{key}.npz"
+    if os.path.exists(cache_file):
+        os.remove(cache_file)
+    built = orig(32, 32, 16, **kw)
+    assert os.path.exists(cache_file)
+    cached = orig(32, 32, 16, **kw)
+    for a, b in zip(fresh, built):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(fresh, cached):
+        np.testing.assert_array_equal(a, b)
+    os.remove(cache_file)
