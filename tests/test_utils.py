@@ -103,3 +103,20 @@ def test_composed_schedule_and_live_counts():
     assert len(s3) == 3 and all(v > 0 for v in s3)
     # 0 entries mean "no further drop" and live counts never grow
     assert schedule_live((10, 0, 4, 0), 64) == (11, 11, 5, 5)
+
+
+def test_vit_large_config_geometry():
+    """ViT-L/16 bench row (beyond the reference's largest model): the config
+    must resolve to the published geometry and produce a valid 24-layer
+    composed schedule — guards the bench.py --model vit_large wiring."""
+    from vit_pruning_tpu.configs import composed_schedule, schedule_live, vit_large
+
+    c = vit_large(num_labels=100)
+    assert (c.hidden_size, c.num_layers, c.num_heads, c.mlp_dim) == (
+        1024, 24, 16, 4096)
+    assert c.image_size == 224 and c.patch_size == 16 and c.num_patches == 196
+    assert c.hidden_size % c.num_heads == 0
+    s = composed_schedule(c.num_patches, c.num_layers)
+    assert len(s) == 24 and s == (130,) + (65,) * 4 + (32,) * 19
+    live = schedule_live(s, c.num_patches)
+    assert all(a >= b for a, b in zip(live, live[1:]))
