@@ -98,13 +98,14 @@ def _cached_synthetic(n, image_size, num_labels, *, seed, label_noise,
 
 
 def build_task(args):
-    if args.gate_model == "deit_small":
+    if args.gate_model != "gate":
         # bench scale (VERDICT r2 #1): the EXACT geometry bench.py measures —
-        # DeiT-S @224 — so the accuracy gates and the 3.55x throughput claim
-        # finally attach to the same model
-        from vit_pruning_tpu.configs import deit_small
+        # DeiT-S/B @224 — so the accuracy gates and the composed throughput
+        # claims attach to the same model
+        from vit_pruning_tpu.configs import deit_base, deit_small
 
-        config = deit_small(num_labels=128).replace(
+        factory = {"deit_small": deit_small, "deit_base": deit_base}
+        config = factory[args.gate_model](num_labels=128).replace(
             image_size=args.image_size or 224
         )
     else:
@@ -317,7 +318,7 @@ def train_and_eval(config, pcfg, train_b, test_b, args, log,
         # epochs at constant 3e-4), so the bench-scale gate uses the
         # standard ViT recipe piece — linear warmup + cosine decay.
         clip = None
-        if args.gate_model == "deit_small":
+        if args.gate_model != "gate":
             # the standard DeiT-from-scratch stabilizers: batch-scaled peak
             # lr (5e-4 x bs/512), 5-epoch linear warmup, cosine decay,
             # global-norm-1 gradient clipping
@@ -501,10 +502,12 @@ def main(argv=None):
     ap.add_argument("--label_noise", type=float, default=0.1)
     ap.add_argument("--sim_threshold", type=float, default=0.9)
     ap.add_argument("--data_path", default=None, help="CIFAR-100 dir (else synthetic)")
-    ap.add_argument("--gate_model", choices=["gate", "deit_small"], default="gate",
-                    help="'gate' = the fast 32x32 gate model; 'deit_small' = "
-                    "the exact DeiT-S @224 geometry bench.py measures "
-                    "(VERDICT r2 #1)")
+    ap.add_argument("--gate_model",
+                    choices=["gate", "deit_small", "deit_base"],
+                    default="gate",
+                    help="'gate' = the fast 32x32 gate model; 'deit_small'/"
+                    "'deit_base' = the exact DeiT-S/B @224 geometry "
+                    "bench.py measures (VERDICT r2 #1)")
     ap.add_argument("--image_size", type=int, default=None,
                     help="input resolution (default: 32 for gate, 224 for "
                     "deit_small)")
@@ -611,7 +614,7 @@ def main(argv=None):
         # 32x32 gate keeps round 2's per-layer re-decide (mode='topk') for
         # byte-reproducibility. Training semantics are identical either way
         # (pruned_vit_forward trains topk_prog as topk).
-        headline_mode = "topk_prog" if args.gate_model == "deit_small" else "topk"
+        headline_mode = "topk_prog" if args.gate_model != "gate" else "topk"
         presets["headline"] = dict(
             pcfg=PruneConfig(mode=headline_mode, predictor="cls_mlp",
                              loss=args.headline_loss, top_k=k,
@@ -622,7 +625,7 @@ def main(argv=None):
         )
     if args.preset in ("mask", "all"):
         k = max(1, int(round(n * (1.0 - args.skip))))
-        headline_mode = "topk_prog" if args.gate_model == "deit_small" else "topk"
+        headline_mode = "topk_prog" if args.gate_model != "gate" else "topk"
         presets["mask"] = dict(
             # TRAINING config = the headline recipe (same predictor, same
             # signal); the serving config is swapped to the thresholded mask
