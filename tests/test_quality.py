@@ -135,3 +135,26 @@ def test_cached_synthetic_roundtrip_byte_identical():
     for a, b in zip(fresh, cached):
         np.testing.assert_array_equal(a, b)
     os.remove(cache_file)
+
+
+def test_build_task_bench_scale_models():
+    """--gate_model deit_small/deit_base resolve to the exact geometries
+    bench.py measures (the gate and the throughput claims must attach to the
+    same model); the dataset/batcher scale with the config."""
+    import argparse
+
+    from quality import build_task
+
+    # 64px -> a 4x4 grid of 16px patches, the smallest grid that fits the
+    # task's >=8 signal patches
+    base = dict(image_size=64, data_path=None, train_size=32, test_size=32,
+                batch=16, label_noise=0.1)
+    for name, dims in (("deit_small", (384, 12, 6, 1536)),
+                       ("deit_base", (768, 12, 12, 3072))):
+        args = argparse.Namespace(gate_model=name, **base)
+        config, train_b, test_b = build_task(args)
+        assert (config.hidden_size, config.num_layers, config.num_heads,
+                config.mlp_dim) == dims
+        assert config.num_labels == 128 and config.image_size == 64
+        b = next(iter(train_b))
+        assert b["pixel_values"].shape == (16, 3, 64, 64)
