@@ -388,3 +388,34 @@ def test_fused_bucketed_layer_matches_unfused():
                                    eps=cfg.layernorm_eps, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_staged2_and_cls_epilogue_at_vit_large_width():
+    """The bench rows beyond the reference's largest model (bench.py --model
+    vit_large) run the same kernels at hidden 1024 / 16 heads / mlp 4096 —
+    parity-check that geometry once so the width generalization is covered,
+    not assumed (the other kernel tests run at hidden 64 / 2 heads)."""
+    from vit_pruning_tpu.configs import vit_large
+    from vit_pruning_tpu.models.vit import init_vit_params, layer_norm, vit_layer
+    from vit_pruning_tpu.ops.pallas.layer import (
+        fused_vit_layer,
+        fused_vit_layer_cls_logits,
+    )
+
+    cfg = vit_large(num_labels=100).replace(num_layers=1)
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 33, cfg.hidden_size))
+
+    ref = vit_layer(x, lp, cfg, use_pallas=False, quant="none")
+    got = fused_vit_layer(x, lp, cfg.num_heads, eps=cfg.layernorm_eps,
+                          interpret=True, attn_impl="staged2")
+    assert np.abs(np.asarray(got - ref)).max() < 2e-5
+
+    yn = layer_norm(ref, params["ln_f"], cfg.layernorm_eps)
+    logits_ref = yn[:, 0] @ params["head"]["w"] + params["head"]["b"]
+    logits = fused_vit_layer_cls_logits(
+        x, lp, params["ln_f"], params["head"], cfg.num_heads,
+        eps=cfg.layernorm_eps, interpret=True)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
+                               atol=2e-5, rtol=1e-4)
