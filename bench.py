@@ -209,11 +209,14 @@ def main():
         log(f"schedule {schedule}: mean live {sum(live)/len(live):.1f}/{n} "
             f"patches = {args.skip:.1%} average skip")
     # loss is a TRAINING-time field (inert for these untrained-inference
-    # timings); set it to the recipe quality.py gates each preset with so the
-    # benched PruneConfig byte-matches the gated serving_config (headline =
-    # bce_oracle, composed/deep schedules = mse_attention)
+    # timings); set it to the recipe quality.py gates the benched presets
+    # with at bench scale — mse_attention for ALL of them (the
+    # deit_small_224 section's headline/mask/composed serving_configs all
+    # record loss='mse_attention'; bce_oracle is the 32x32 gate-model
+    # recipe only and fails at 224, RESULTS.md) — so the benched
+    # PruneConfig byte-matches the gated serving_config
     pcfg = PruneConfig(mode=args.mode, predictor="cls_mlp",
-                       loss="mse_attention" if schedule else "bce_oracle",
+                       loss="mse_attention",
                        top_k=k, keep_schedule=schedule,
                        mask_budget=args.mask_budget)
 

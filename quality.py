@@ -91,7 +91,12 @@ def _cached_synthetic(n, image_size, num_labels, *, seed, label_noise,
         signal_patches=signal_patches, cell=cell,
     )
     try:
-        np.savez(path, images=images, labels=labels)
+        # atomic publish: a run killed mid-savez (the 224-scale npz is
+        # ~1 GB) must not leave a half-written file that a later run's
+        # os.path.exists check would trust
+        tmp = f"{path[:-len('.npz')]}.tmp.{os.getpid()}.npz"
+        np.savez(tmp, images=images, labels=labels)
+        os.replace(tmp, path)
     except OSError as e:  # disk-full etc. — cache is an optimization only
         log(f"dataset cache write failed ({e}); continuing uncached")
     return images, labels
@@ -234,6 +239,16 @@ def attention_topk_agreement(params, test_b, config, pcfg):
     # forward's inactive branch returns dummy scores that would grade as 0
     decide_layers = [i for i, k in enumerate(sched)
                      if k and _is_active(pcfg, i)]
+    if not decide_layers:
+        # np.mean([]) would put NaN into predictor_accuracy and the JSON
+        # (json.dumps emits non-standard NaN); fail loudly instead — a
+        # config whose schedule never decides has no predictor fidelity to
+        # measure
+        raise ValueError(
+            "attention_topk_agreement: the serving schedule has no active "
+            f"decide layers (keep_schedule={sched}, "
+            f"active_layers={pcfg.active_layers}); predictor fidelity is "
+            "undefined for this config")
 
     p_eval = pcfg.replace(mode="topk", keep_schedule=None)
     fwd = jax.jit(lambda p, v: pruned_vit_forward(
@@ -701,7 +716,12 @@ def main(argv=None):
                 teacher=(dense_params, config),
             )
             measured = True
-            if ckpt and name == "headline":
+            if ckpt and name in ("headline", "mask"):
+                # the mask preset TRAINS with the headline recipe (same
+                # weights, different serving config), so a fresh train under
+                # either name fills --headline_ckpt — otherwise a
+                # --preset mask run on a fresh machine would discard hours
+                # of TPU training
                 from vit_pruning_tpu.checkpoint import save_checkpoint
 
                 save_checkpoint(ckpt, trained)
@@ -785,37 +805,58 @@ def main(argv=None):
         if os.path.exists(args.merge_into):
             with open(args.merge_into) as fh:
                 existing = json.load(fh)
-        if args.section:
-            # preset-level merge: a --preset headline rerun must not drop
-            # the section's existing composed entry (and vice versa)
-            old = existing.get(args.section, {})
-            if isinstance(old, dict) and old.get("presets"):
-                merged = dict(old)
-                merged.update({k: v for k, v in results.items()
-                               if k != "presets"})
-                merged["presets"] = {**old["presets"], **results["presets"]}
-                # baselines may differ across merged runs (each preset pins
-                # its own dense_top1); flag it rather than silently
-                # certifying deltas against mixed baselines
-                bases = {p.get("dense_top1") for p in merged["presets"].values()
-                         if p.get("dense_top1") is not None}
-                if len(bases) > 1:
-                    merged["mixed_dense_baselines"] = sorted(bases)
-                    log(f"WARNING: merged presets were measured against "
-                        f"different dense baselines {sorted(bases)}; "
-                        f"re-run all presets with --dense_ckpt for a "
-                        f"single-baseline section")
-                merged["pass"] = bool(all(
-                    p.get("pass") for p in merged["presets"].values()))
-                existing[args.section] = merged
-            else:
-                existing[args.section] = results
-        else:
-            existing.update(results)
+        merge_results(existing, results, args.section, log)
         with open(args.merge_into, "w") as fh:
             json.dump(existing, fh, indent=1)
     print(json.dumps(results))
     return 0 if all_pass else 1
+
+
+def _merge_preset_run(old: dict, results: dict, log) -> dict:
+    """Preset-preserving merge of one run's `results` into a prior record
+    `old` with the same shape: a --preset headline rerun must not drop the
+    existing composed entry (and vice versa). Section pass = all merged
+    presets pass."""
+    merged = dict(old)
+    merged.update({k: v for k, v in results.items() if k != "presets"})
+    merged["presets"] = {**old["presets"], **results["presets"]}
+    # baselines may differ across merged runs (each preset pins its own
+    # dense_top1); flag it rather than silently certifying deltas against
+    # mixed baselines
+    bases = {p.get("dense_top1") for p in merged["presets"].values()
+             if p.get("dense_top1") is not None}
+    if len(bases) > 1:
+        merged["mixed_dense_baselines"] = sorted(bases)
+        log(f"WARNING: merged presets were measured against different "
+            f"dense baselines {sorted(bases)}; re-run all presets with "
+            f"--dense_ckpt for a single-baseline section")
+    merged["pass"] = bool(all(
+        p.get("pass") for p in merged["presets"].values()))
+    return merged
+
+
+def merge_results(existing: dict, results: dict, section, log=log) -> dict:
+    """Merge one quality run into the results file dict, in place.
+
+    With `section`, the run lands under that key; without, at the top
+    level. Either way previously-recorded presets the run didn't re-measure
+    are preserved (preset-level union, not dict replacement)."""
+    if section:
+        old = existing.get(section, {})
+        if isinstance(old, dict) and old.get("presets"):
+            existing[section] = _merge_preset_run(old, results, log)
+        else:
+            existing[section] = results
+    else:
+        if isinstance(existing.get("presets"), dict):
+            merged = _merge_preset_run(
+                {k: v for k, v in existing.items()
+                 if not (isinstance(v, dict) and v.get("presets"))},
+                results, log)
+            existing.update(merged)
+        else:
+            existing.update(results)
+    return existing
 
 
 if __name__ == "__main__":

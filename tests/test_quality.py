@@ -158,3 +158,79 @@ def test_build_task_bench_scale_models():
         assert config.num_labels == 128 and config.image_size == 64
         b = next(iter(train_b))
         assert b["pixel_values"].shape == (16, 3, 64, 64)
+
+
+def test_merge_results_preserves_presets_at_both_levels():
+    """A --preset headline rerun must not drop previously recorded presets —
+    at the top level (no --section) just like inside a section."""
+    from quality import merge_results
+
+    silent = lambda *a: None
+    run1 = {"dense_top1": 0.9, "presets": {"composed": {"pass": True}},
+            "pass": True}
+    run2 = {"dense_top1": 0.9, "presets": {"headline": {"pass": True}},
+            "pass": True}
+
+    # top level (no --section)
+    f = dict(run1)
+    f["old_section"] = {"presets": {"x": {"pass": False}}, "pass": False}
+    merge_results(f, run2, None, silent)
+    assert set(f["presets"]) == {"composed", "headline"}
+    assert f["pass"] is True
+    assert f["old_section"]["presets"] == {"x": {"pass": False}}  # untouched
+
+    # a failing rerun flips the merged pass
+    run3 = {"dense_top1": 0.9, "presets": {"headline": {"pass": False}},
+            "pass": False}
+    merge_results(f, run3, None, silent)
+    assert set(f["presets"]) == {"composed", "headline"}
+    assert f["pass"] is False
+
+    # section level
+    g = {"s": dict(run1)}
+    merge_results(g, run2, "s", silent)
+    assert set(g["s"]["presets"]) == {"composed", "headline"}
+    assert g["s"]["pass"] is True
+
+    # mixed dense baselines are flagged
+    run4 = {"dense_top1": 0.8, "presets": {"mask": {"pass": True,
+                                                    "dense_top1": 0.8}},
+            "pass": True}
+    g["s"]["presets"]["headline"]["dense_top1"] = 0.9
+    merge_results(g, run4, "s", silent)
+    assert g["s"]["mixed_dense_baselines"] == [0.8, 0.9]
+
+
+def test_per_predictor_adam_skips_shared_subtrees():
+    """Per-layer lr scales must not touch 'shared_'-prefixed predictor
+    subtrees (one set of weights for every layer), even when a shared leaf's
+    leading dim coincidentally equals num_layers."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_pruning_tpu.train.freeze import masked_adam, per_predictor_adam
+
+    L = 3
+    params = {
+        "backbone": {"w": jnp.ones((4, 4))},
+        "predictor": {
+            "mlp": {"w": jnp.ones((L, 5, 5))},          # stacked [L, ...]
+            "shared_net": {"b": jnp.ones((L,))},        # shared, dim == L!
+        },
+    }
+    grads = jax.tree.map(jnp.ones_like, params)
+    scales = (1.0, 2.0, 4.0)
+
+    tx = per_predictor_adam(params, 1e-3, lr_scales=scales)
+    state = tx.init(params)
+    upd, _ = tx.update(grads, state, params)
+    base = masked_adam(params, "mlp_train", 1e-3)
+    upd0, _ = base.update(grads, base.init(params), params)
+
+    stacked = np.asarray(upd["predictor"]["mlp"]["w"])
+    ref = np.asarray(upd0["predictor"]["mlp"]["w"])
+    for i, s in enumerate(scales):
+        np.testing.assert_allclose(stacked[i], ref[i] * s, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(upd["predictor"]["shared_net"]["b"]),
+                               np.asarray(upd0["predictor"]["shared_net"]["b"]),
+                               rtol=1e-6)

@@ -220,6 +220,7 @@ class Batches:
             )
         self.images = images
         self.labels = labels
+        self._num_images = len(images)
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
@@ -228,14 +229,14 @@ class Batches:
         self._pre = jax.jit(lambda im: vit_preprocess(im, image_size))
 
     def __len__(self) -> int:
-        n = len(self.images) // self.batch_size
-        if not self.drop_last and len(self.images) % self.batch_size:
+        n = self._num_images // self.batch_size
+        if not self.drop_last and self._num_images % self.batch_size:
             n += 1
         return n
 
     @property
     def num_samples(self) -> int:
-        return len(self) * self.batch_size if self.drop_last else len(self.images)
+        return len(self) * self.batch_size if self.drop_last else self._num_images
 
     def set_epoch(self, epoch: int):
         """Pin the shuffle order to an epoch index (exact training resume)."""
@@ -244,7 +245,7 @@ class Batches:
     def _batch_indices(self) -> Iterator[np.ndarray]:
         """Epoch-pinned iteration order — the single definition of batch
         order/reshuffle semantics, shared by every batcher subclass."""
-        order = np.arange(len(self.images))
+        order = np.arange(self._num_images)
         if self.shuffle:
             order = np.random.RandomState(self.seed + self._epoch).permutation(order)
             self._epoch += 1
@@ -273,6 +274,11 @@ class DeviceBatches(Batches):
         super().__init__(*args, **kw)
         self._dev_images = jax.device_put(np.ascontiguousarray(self.images))
         self._dev_labels = jax.device_put(np.asarray(self.labels))
+        # the host copies are dead once uploaded (iteration gathers on
+        # device); at the bench-scale gate each split is ~1.2 GB of host
+        # RAM pinned for the object's lifetime otherwise
+        self.images = None
+        self.labels = None
         pre = self._pre
 
         @jax.jit
@@ -330,7 +336,12 @@ class PrefetchBatches:
         return self.inner.num_samples
 
     def set_epoch(self, epoch: int):
-        self.inner.set_epoch(epoch)
+        # delegate when present (docstring contract): a plain iterable of
+        # batch dicts has no epoch-pinned shuffle to re-seed, and the
+        # harness's hasattr(train_batches, 'set_epoch') guard sees this
+        # method on the wrapper regardless of the inner's type
+        if hasattr(self.inner, "set_epoch"):
+            self.inner.set_epoch(epoch)
 
     def __iter__(self) -> Iterator[dict]:
         import queue

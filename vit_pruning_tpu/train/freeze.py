@@ -126,7 +126,16 @@ def per_predictor_adam(
 
         scaled = dict(updates)
         if updates.get("predictor") is not None:
-            scaled["predictor"] = jax.tree.map(scale_leaf, updates["predictor"])
+            # per-layer scaling applies only to the stacked-[L, ...]
+            # subtrees; 'shared_'-prefixed keys hold ONE set of weights used
+            # at every layer (init_predictor_params naming contract, same as
+            # parallel/pipeline.py's sharding) and a shared leaf can
+            # coincidentally have leading dim == L
+            scaled["predictor"] = {
+                k: (sub if k.startswith("shared_")
+                    else jax.tree.map(scale_leaf, sub))
+                for k, sub in updates["predictor"].items()
+            }
         return scaled, state
 
     scaler = optax.GradientTransformation(lambda p: optax.EmptyState(), scale_predictor_updates)
