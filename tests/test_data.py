@@ -74,6 +74,62 @@ def test_fetch_raises_actionable_error_offline(tmp_path):
     assert fetch_imagenet_val(str(done)) == str(done)
 
 
+def test_fetch_online_paths_with_fake_backends(tmp_path, monkeypatch):
+    """H6 online flow, unit-tested against fake kaggle/kagglehub backends
+    (the zero-egress equivalent of exercising hi_main.py:48-53,84-86):
+    authenticate before download, the reference's exact dataset IDs, unzip,
+    completion marker, and idempotence on the second call."""
+    import sys
+    import types
+
+    from vit_pruning_tpu.data import fetch
+
+    calls = []
+
+    class FakeKaggleApi:
+        def authenticate(self):
+            calls.append(("auth",))
+
+        def dataset_download_files(self, dataset, path, unzip):
+            calls.append(("download", dataset, path, unzip))
+
+    ext = types.ModuleType("kaggle.api.kaggle_api_extended")
+    ext.KaggleApi = FakeKaggleApi
+    api_pkg = types.ModuleType("kaggle.api")
+    api_pkg.kaggle_api_extended = ext
+    kaggle_pkg = types.ModuleType("kaggle")
+    kaggle_pkg.api = api_pkg
+    monkeypatch.setitem(sys.modules, "kaggle", kaggle_pkg)
+    monkeypatch.setitem(sys.modules, "kaggle.api", api_pkg)
+    monkeypatch.setitem(sys.modules, "kaggle.api.kaggle_api_extended", ext)
+
+    dest = tmp_path / "inval"
+    assert fetch.fetch_imagenet_val(str(dest)) == str(dest)
+    assert calls == [("auth",), ("download", fetch.KAGGLE_IMAGENET_VAL, str(dest), True)]
+    assert (dest / ".fetch_complete").exists()
+    assert fetch.fetch_imagenet_val(str(dest)) == str(dest)
+    assert len(calls) == 2  # marker short-circuits: no second download
+
+    cache = tmp_path / "hub_cache" / "tiny-imagenet"
+    cache.mkdir(parents=True)
+    hub = types.ModuleType("kagglehub")
+    hub_calls = []
+
+    def dataset_download(dataset):
+        hub_calls.append(dataset)
+        return str(cache)
+
+    hub.dataset_download = dataset_download
+    monkeypatch.setitem(sys.modules, "kagglehub", hub)
+
+    tdest = tmp_path / "tiny"
+    assert fetch.fetch_tiny_imagenet(str(tdest)) == str(cache)
+    assert hub_calls == [fetch.KAGGLEHUB_TINY_IMAGENET]
+    # marker records kagglehub's RESOLVED cache path and is honored on reuse
+    assert fetch.fetch_tiny_imagenet(str(tdest)) == str(cache)
+    assert hub_calls == [fetch.KAGGLEHUB_TINY_IMAGENET]
+
+
 def test_device_batches_matches_host_batches():
     from vit_pruning_tpu.data.datasets import Batches, DeviceBatches, synthetic_dataset
 
