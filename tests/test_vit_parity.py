@@ -165,6 +165,51 @@ def test_interpolate_pos_embed():
     assert np.isfinite(np.asarray(out["logits"])).all()
 
 
+def test_params_roundtrip_to_torch(hf_model):
+    """Export half of the checkpoint surgery: a JAX tree converts back to an
+    HF state_dict that ViTForImageClassification loads with strict=True and
+    that bit-matches the original torch model's logits — so a backbone
+    fine-tuned here can flow back into the reference's serving/viz stack."""
+    from vit_pruning_tpu.models.convert import params_to_torch_state_dict
+
+    config = our_config(hf_model)
+    params = torch_state_dict_to_params(hf_model.state_dict(), config)
+    sd = params_to_torch_state_dict(params, config)
+
+    fresh = make_hf_model(seed=99)  # different weights, same geometry
+    missing, unexpected = fresh.load_state_dict(sd, strict=True)
+    assert not missing and not unexpected
+
+    rng = np.random.RandomState(5)
+    x = torch.from_numpy(rng.randn(3, 3, 32, 32).astype(np.float32))
+    with torch.no_grad():
+        np.testing.assert_allclose(
+            fresh(pixel_values=x).logits.numpy(),
+            hf_model(pixel_values=x).logits.numpy(),
+            atol=1e-6, rtol=1e-6,
+        )
+
+
+def test_params_roundtrip_pruned_tree_and_bare():
+    """Round-trip accepts a pruned-model tree (exports its backbone) and,
+    with classifier=False, emits no classifier keys (bare-ViTModel export)."""
+    from vit_pruning_tpu.models.convert import params_to_torch_state_dict
+
+    config = ViTConfig(
+        image_size=32, patch_size=8, hidden_size=64, num_layers=2,
+        num_heads=4, mlp_dim=128, num_labels=10,
+    )
+    backbone = init_vit_params(jax.random.PRNGKey(3), config)
+    sd = params_to_torch_state_dict({"backbone": backbone, "predictors": {}}, config)
+    assert "vit.encoder.layer.1.intermediate.dense.weight" in sd
+    np.testing.assert_allclose(
+        sd["classifier.weight"].numpy(),
+        np.asarray(backbone["head"]["w"]).T, atol=0, rtol=0,
+    )
+    bare = params_to_torch_state_dict(backbone, config, classifier=False)
+    assert not any(k.startswith("classifier") for k in bare)
+
+
 # --- Full-scale parity (VERDICT r2 #2): ViT-B/16 @ 224 ----------------------
 # The toy tests above de-risk the math; these run the REAL reproduction
 # geometry (himanshu/hi_main.py:122-137 loads ViT-B/16 @224 checkpoints) so

@@ -101,6 +101,66 @@ def torch_state_dict_to_params(
     }
 
 
+def params_to_torch_state_dict(
+    params: dict,
+    config: ViTConfig,
+    classifier: bool = True,
+) -> Dict[str, "object"]:
+    """Inverse of `torch_state_dict_to_params`: JAX param tree -> HF torch
+    state_dict, loadable into `ViTForImageClassification` with strict=True.
+
+    The export half of the reference's checkpoint surgery (hi_main.py:130-137
+    only imports): lets a backbone fine-tuned here flow back into the
+    reference's torch/HF serving and viz stack. Accepts a pruned-model tree
+    (exports its 'backbone'; predictor heads have no HF home) or a bare
+    backbone tree. Returns torch tensors.
+    """
+    import torch
+
+    tree = params["backbone"] if "backbone" in params else params
+
+    def t(x, transpose=False):
+        a = np.asarray(x, dtype=np.float32)
+        return torch.from_numpy(np.ascontiguousarray(a.T if transpose else a))
+
+    d, c, p = config.hidden_size, config.num_channels, config.patch_size
+    sd = {
+        "vit.embeddings.cls_token": t(tree["embed"]["cls"]),
+        "vit.embeddings.position_embeddings": t(tree["embed"]["pos"]),
+        # [C*P*P, D] input-major -> conv [D, C, P, P] (inverse of the
+        # reshape(d, -1).T flattening above)
+        "vit.embeddings.patch_embeddings.projection.weight": t(
+            np.asarray(tree["embed"]["patch"]["w"], dtype=np.float32).T.reshape(d, c, p, p)
+        ),
+        "vit.embeddings.patch_embeddings.projection.bias": t(tree["embed"]["patch"]["b"]),
+        "vit.layernorm.weight": t(tree["ln_f"]["g"]),
+        "vit.layernorm.bias": t(tree["ln_f"]["b"]),
+    }
+
+    def put_lin(hf_name, lin, i):
+        sd[f"{hf_name}.weight"] = t(lin["w"][i], transpose=True)
+        sd[f"{hf_name}.bias"] = t(lin["b"][i])
+
+    for i in range(config.num_layers):
+        pre = f"vit.encoder.layer.{i}"
+        L = tree["layers"]
+        sd[f"{pre}.layernorm_before.weight"] = t(L["ln1"]["g"][i])
+        sd[f"{pre}.layernorm_before.bias"] = t(L["ln1"]["b"][i])
+        put_lin(f"{pre}.attention.attention.query", L["attn"]["q"], i)
+        put_lin(f"{pre}.attention.attention.key", L["attn"]["k"], i)
+        put_lin(f"{pre}.attention.attention.value", L["attn"]["v"], i)
+        put_lin(f"{pre}.attention.output.dense", L["attn"]["o"], i)
+        sd[f"{pre}.layernorm_after.weight"] = t(L["ln2"]["g"][i])
+        sd[f"{pre}.layernorm_after.bias"] = t(L["ln2"]["b"][i])
+        put_lin(f"{pre}.intermediate.dense", L["mlp"]["fc1"], i)
+        put_lin(f"{pre}.output.dense", L["mlp"]["fc2"], i)
+
+    if classifier:
+        sd["classifier.weight"] = t(tree["head"]["w"], transpose=True)
+        sd["classifier.bias"] = t(tree["head"]["b"])
+    return sd
+
+
 def interpolate_pos_embed(params: dict, config: ViTConfig, new_image_size: int) -> tuple:
     """Resize position embeddings to a new input resolution.
 
