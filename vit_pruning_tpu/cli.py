@@ -21,9 +21,11 @@ import numpy as np
 from vit_pruning_tpu.configs import (
     PruneConfig,
     ViTConfig,
+    deit_base,
     deit_small,
     deit_tiny,
     vit_base_patch16_224,
+    vit_large,
     vit_tiny,
 )
 from vit_pruning_tpu.checkpoint import BestCheckpoint, restore_checkpoint
@@ -37,6 +39,8 @@ MODELS = {
     "vit_base": vit_base_patch16_224,
     "deit_tiny": deit_tiny,
     "deit_small": deit_small,
+    "deit_base": deit_base,
+    "vit_large": vit_large,
     "vit_tiny": vit_tiny,
 }
 
@@ -107,6 +111,21 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--checkpoint", required=True)
     e.add_argument("--test_batch_size", type=int, default=128)
     e.add_argument("--full_testing", action="store_true")
+
+    x = sub.add_parser(
+        "export", help="export a checkpoint's backbone to an HF torch "
+                       "state_dict .pth (inverse of --torch_checkpoint)"
+    )
+    x.add_argument("--checkpoint", required=True,
+                   help="orbax checkpoint dir (train writes a .config.json "
+                        "sidecar next to it)")
+    x.add_argument("--out", required=True, help="output .pth path")
+    x.add_argument("--model", choices=sorted(MODELS), default="vit_base",
+                   help="geometry fallback when no config sidecar exists")
+    x.add_argument("--dataset", choices=["cifar100", "imagefolder", "synthetic"],
+                   default="synthetic", help="only sets num_labels fallback")
+    x.add_argument("--no_classifier", action="store_true",
+                   help="emit a bare-ViTModel-style dict (no classifier keys)")
 
     v = sub.add_parser(
         "viz", help="generate the visualization suite (heatmaps, montages, report)"
@@ -279,6 +298,31 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Checkpoint -> HF torch state_dict: the export half of the reference's
+    weight surgery (hi_main.py:130-137 only imports), so backbones fine-tuned
+    here flow back into the torch/HF serving and viz stack."""
+    import torch
+
+    from vit_pruning_tpu.models.convert import params_to_torch_state_dict
+
+    side = _load_config_sidecar(args.checkpoint)
+    if side is not None:
+        config, pcfg = side
+    else:
+        config = _build_config(args)
+        pcfg = PruneConfig(mode="none", predictor="none")
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), config, pcfg)
+    params = restore_checkpoint(args.checkpoint, params)
+    sd = params_to_torch_state_dict(params, config, classifier=not args.no_classifier)
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    torch.save(sd, args.out)
+    print(f"wrote {len(sd)} tensors to {args.out} "
+          f"(load_state_dict into ViTForImageClassification, strict="
+          f"{'False' if args.no_classifier else 'True'})")
+    return 0
+
+
 def cmd_viz(args) -> int:
     """Generate V1-V8 artifacts: skip/oracle/error heatmaps, blackout
     montages, skip bar chart, similarity analysis, HTML report."""
@@ -362,6 +406,8 @@ def main(argv=None) -> int:
         return cmd_train(args)
     if args.command == "viz":
         return cmd_viz(args)
+    if args.command == "export":
+        return cmd_export(args)
     return cmd_eval(args)
 
 

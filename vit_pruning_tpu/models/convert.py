@@ -120,7 +120,7 @@ def params_to_torch_state_dict(
     tree = params["backbone"] if "backbone" in params else params
 
     def t(x, transpose=False):
-        a = np.asarray(x, dtype=np.float32)
+        a = np.array(x, dtype=np.float32)  # copy: torch needs writable memory
         return torch.from_numpy(np.ascontiguousarray(a.T if transpose else a))
 
     d, c, p = config.hidden_size, config.num_channels, config.patch_size
