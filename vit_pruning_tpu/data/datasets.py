@@ -75,8 +75,11 @@ def load_image_folder(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """class-per-subdirectory image tree -> (images [N,H,W,3] uint8, labels).
 
-    Images are decoded and resized host-side with PIL (bilinear — the HF
-    processor's resample). Matches TinyImageNetDataset semantics
+    Images are decoded host-side with PIL and resized with the bit-exact
+    native C++ resampler when the decoded sizes are uniform (TinyImageNet:
+    64x64) — one multithreaded batch call instead of N Python-loop resizes —
+    falling back to per-image PIL bilinear (the HF processor's resample)
+    otherwise. Matches TinyImageNetDataset semantics
     (main_model_utils.py:64-95).
     """
     from PIL import Image
@@ -98,15 +101,27 @@ def load_image_folder(
         idx = np.random.RandomState(seed).permutation(len(labels))[:size]
         files = [files[i] for i in idx]
         labels = labels[idx]
-    images = np.stack(
-        [
-            np.asarray(
-                Image.open(f).convert("RGB").resize((image_size, image_size), Image.BILINEAR),
-                dtype=np.uint8,
-            )
-            for f in files
-        ]
-    )
+    from vit_pruning_tpu import native
+
+    decoded = [
+        np.asarray(Image.open(f).convert("RGB"), dtype=np.uint8) for f in files
+    ]
+    if (
+        native.available()
+        and decoded
+        and len({im.shape for im in decoded}) == 1
+    ):
+        images = native.resize_bilinear(np.stack(decoded), image_size, image_size)
+    else:
+        images = np.stack(
+            [
+                np.asarray(
+                    Image.fromarray(im).resize((image_size, image_size), Image.BILINEAR),
+                    dtype=np.uint8,
+                )
+                for im in decoded
+            ]
+        )
     return images, labels
 
 

@@ -9,8 +9,13 @@ Two paths:
   * `vit_preprocess`   — pure jnp (resize via jax.image), jit-able, used in
                          the input pipeline on device. Upsampling CIFAR 32->224
                          with bilinear matches PIL to ~1e-2 per pixel.
-  * `pil_preprocess`   — exact PIL-based path (host, per-image) for
-                         bit-level parity when PIL is available.
+  * `pil_preprocess`   — exact HF-processor numerics on the host. Uniform
+                         uint8 batches dispatch to the native C++ kernel
+                         (vit_pruning_tpu/native — PIL-bit-exact fixed-point
+                         resampling fused with normalize+CHW, multithreaded;
+                         parity guaranteed by tests/test_native.py); anything
+                         else falls back to the per-image PIL loop with
+                         identical results.
 """
 
 from __future__ import annotations
@@ -37,14 +42,38 @@ def vit_preprocess(
 
 
 def pil_preprocess(
-    images, size: int = 224, mean: float = VIT_MEAN, std: float = VIT_STD
+    images, size: int = 224, mean: float = VIT_MEAN, std: float = VIT_STD,
+    _force_pil: bool = False,
 ) -> np.ndarray:
-    """Exact HF-processor path: PIL bilinear resize per image (host-side).
+    """Exact HF-processor path (PIL-bilinear numerics), host-side.
 
-    images: list of HxWx3 uint8 arrays or PIL Images.
-    Returns [B, 3, size, size] float32.
+    images: list of HxWx3 uint8 arrays or PIL Images (or an [N,H,W,3] array).
+    Returns [B, 3, size, size] float32. Uniform uint8 ndarray batches take the
+    bit-identical native C++ fast path; `_force_pil` pins the per-image PIL
+    loop (tests compare the two).
     """
     from PIL import Image
+
+    if not _force_pil:
+        batch = None
+        if isinstance(images, np.ndarray):
+            batch = images
+        elif (
+            len(images)
+            and all(isinstance(im, np.ndarray) for im in images)
+            and len({im.shape for im in images}) == 1
+        ):
+            batch = np.stack(images)
+        if (
+            batch is not None
+            and batch.dtype == np.uint8
+            and batch.ndim == 4
+            and batch.shape[-1] == 3
+        ):
+            from vit_pruning_tpu import native
+
+            if native.available():
+                return native.preprocess(batch, size=size, mean=mean, std=std)
 
     out = []
     for im in images:
