@@ -71,6 +71,17 @@ def main():
     agree = float((logits8.argmax(-1) == logits.argmax(-1)).mean())
     print(f"argmax agreement bf16 vs int8: {agree:.2%}")
 
+    # 4. stage the whole program out as a StableHLO artifact: the serve-time
+    #    host needs no model code, only jax.export.deserialize + the weights
+    from vit_pruning_tpu.serving import export_serving, load_exported
+
+    art = "/tmp/vit_serving.stablehlo"
+    export_serving(params, served_config, pcfg, batch_size=8, path=art,
+                   interpret=interpret)
+    exported_logits = load_exported(art)(params, jnp.asarray(images))
+    print(f"exported artifact {art}: bit-identical =",
+          bool((exported_logits == logits).all()))
+
 
 if __name__ == "__main__":
     main()

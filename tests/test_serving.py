@@ -73,3 +73,23 @@ def test_topk_prog_routed_via_pruned_forward(setup):
     tr = pruned_vit_forward(params, x, CFG, pcfg, train=True,
                             rng=jax.random.PRNGKey(0), use_pallas=False)
     assert "aux" in tr  # oracle instrumentation present under train
+
+
+def test_export_serving_roundtrip(setup, tmp_path):
+    """jax.export artifact: serialize -> reload -> bit-identical logits."""
+    pcfg, params, u8 = setup
+    from vit_pruning_tpu.serving import export_serving, load_exported
+
+    path = str(tmp_path / "serving.stablehlo")
+    export_serving(params, CFG, pcfg, batch_size=2, path=path,
+                   use_pallas=False, interpret=True)
+    call = load_exported(path)
+    direct = serving_forward(params, jnp.asarray(u8), CFG, pcfg,
+                             use_pallas=False, interpret=True)["logits"]
+    reloaded = call(params, jnp.asarray(u8))
+    np.testing.assert_array_equal(np.asarray(reloaded), np.asarray(direct))
+    # jittable and shape-checked
+    jitted = jax.jit(call)(params, jnp.asarray(u8))
+    np.testing.assert_array_equal(np.asarray(jitted), np.asarray(direct))
+    with pytest.raises(Exception):
+        call(params, jnp.asarray(u8[:1]))  # wrong batch -> rejected
