@@ -419,3 +419,27 @@ def test_staged2_and_cls_epilogue_at_vit_large_width():
         eps=cfg.layernorm_eps, interpret=True)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_patch_embed_conv_impl_matches_matmul():
+    """The TPU strided-conv embed formulation == the matmul reference
+    (scripts/embed_probe.py: conv halves the embed's batch cost)."""
+    from vit_pruning_tpu.ops.patch_embed import patch_embed
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 3, 64, 64), jnp.float32)
+    params = {
+        "w": jnp.asarray(rng.randn(3 * 16 * 16, 48), jnp.float32) * 0.05,
+        "b": jnp.asarray(rng.randn(48), jnp.float32),
+    }
+    ref = patch_embed(x, params, 16, impl="matmul")
+    got = patch_embed(x, params, 16, impl="conv")
+    assert ref.shape == got.shape == (2, 16, 48)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+    # bf16: same formulation under the benched dtype
+    got16 = patch_embed(x.astype(jnp.bfloat16),
+                        jax.tree.map(lambda a: a.astype(jnp.bfloat16), params),
+                        16, impl="conv").astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got16), np.asarray(ref),
+                               atol=0.15, rtol=0.05)
