@@ -359,3 +359,36 @@ def test_best_checkpoint_in_memory_survives_donated_steps():
         best.update(1.0 - 0.1 * i, params)  # first epoch is "best"
     # the stored best must still be readable after later donated steps
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(best.best_params))
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=2/4 produce the same update + metrics as one full-batch
+    step (all loss terms are batch means; confusion counts sum exactly)."""
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, PCFG)
+    batch = next(iter(_data(bs=16)))
+    optimizer = masked_adam(params, "vit_mlp_train", lr=1e-2)
+    rng = jax.random.PRNGKey(3)
+
+    ref_step = make_train_step(CFG, PCFG, "both", optimizer)
+    p_ref, _, m_ref = ref_step(
+        jax.tree.map(lambda a: a.copy(), params), optimizer.init(params),
+        batch, rng)
+    for accum in (2, 4):
+        step = make_train_step(CFG, PCFG, "both", optimizer, accum_steps=accum)
+        p_acc, _, m_acc = step(
+            jax.tree.map(lambda a: a.copy(), params), optimizer.init(params),
+            batch, rng)
+        # tolerance is ABSOLUTE vs the ~1e-2 Adam step: microbatch-sum
+        # reassociation noise (~1e-7 on grads) passes through Adam's
+        # eps floor as ~1e-5 wiggle on near-zero-gradient leaves
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_acc)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=0)
+        np.testing.assert_array_equal(np.asarray(m_ref["confusion"]),
+                                      np.asarray(m_acc["confusion"]))
+        np.testing.assert_allclose(float(m_ref["loss"]), float(m_acc["loss"]),
+                                   rtol=1e-5)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        make_train_step(CFG, PCFG, "both", optimizer, accum_steps=3)(
+            params, optimizer.init(params), batch, rng)

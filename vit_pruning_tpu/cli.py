@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="M19 per-predictor learning-rate multipliers, one per "
                         "layer (mukunda/deit.py:131-156); applies to the "
                         "predictor phase")
+    t.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient accumulation: microbatches per optimizer "
+                        "step (full-batch gradient in one microbatch's "
+                        "activation memory)")
     t.add_argument("--pretrained_checkpoint", default=None,
                    help="resume from an orbax checkpoint (hi_main.py:138-139)")
     t.add_argument("--torch_checkpoint", default=None,
@@ -262,6 +266,7 @@ def cmd_train(args) -> int:
         log=log, best=best,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         per_layer_lr_scales=args.per_layer_lr_scales,
+        accum_steps=args.accum_steps,
     )
 
     accuracy, mlp_accuracy, acc = evaluate(

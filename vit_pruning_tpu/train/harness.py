@@ -95,6 +95,7 @@ def make_train_step(
     compute_dtype=None,
     remat: bool = False,
     distill=None,
+    accum_steps: int = 1,
 ) -> Callable:
     """One jitted optimization step: (params, opt_state, batch, rng) ->
     (params, opt_state, metrics).
@@ -103,22 +104,59 @@ def make_train_step(
     precision while params, gradients, and optimizer state stay float32
     (mixed precision: the cast is part of the differentiated graph, so
     gradients land in float32 automatically).
+
+    accum_steps > 1 runs gradient accumulation: the batch is split into
+    `accum_steps` equal microbatches along axis 0 and walked with lax.scan,
+    so peak activation memory is one microbatch's while the update is the
+    full-batch gradient (all loss terms are batch means, so the microbatch
+    average equals the full-batch value; per-layer confusion COUNTS are
+    summed). One optimizer update per call, identical semantics to
+    accum_steps=1 up to float reassociation (tested).
     """
+
+    def loss_fn(p, b, r):
+        if compute_dtype is not None:
+            p = jax.tree.map(lambda a: a.astype(compute_dtype), p)
+            b = dict(b, pixel_values=b["pixel_values"].astype(compute_dtype))
+        return total_loss_fn(p, b, config, pcfg, loss_type, r,
+                             remat=remat, distill=distill)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng):
-        def loss_fn(p):
-            if compute_dtype is not None:
-                p = jax.tree.map(lambda a: a.astype(compute_dtype), p)
-                batch_c = dict(
-                    batch, pixel_values=batch["pixel_values"].astype(compute_dtype)
-                )
-            else:
-                batch_c = batch
-            return total_loss_fn(p, batch_c, config, pcfg, loss_type, rng,
-                                 remat=remat, distill=distill)
+        if accum_steps == 1:
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, rng)
+        else:
+            bsz = batch["labels"].shape[0]
+            if bsz % accum_steps:
+                raise ValueError(
+                    f"batch size {bsz} not divisible by accum_steps {accum_steps}")
+            mb = bsz // accum_steps
+            micro = jax.tree.map(
+                lambda a: a.reshape((accum_steps, mb) + a.shape[1:]), batch)
+            rngs = jax.random.split(rng, accum_steps)
+            first = jax.tree.map(lambda a: a[0], micro)
+            (_, m0), g0 = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, first, rngs[0])
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            def body(carry, inp):
+                g_acc, m_acc = carry
+                b_i, r_i = inp
+                (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, b_i, r_i)
+                return (
+                    jax.tree.map(jnp.add, g_acc, g),
+                    jax.tree.map(jnp.add, m_acc, m),
+                ), None
+
+            rest = jax.tree.map(lambda a: a[1:], micro)
+            (g_sum, m_sum), _ = jax.lax.scan(body, (g0, m0), (rest, rngs[1:]))
+            grads = jax.tree.map(lambda g: g / accum_steps, g_sum)
+            # means average; confusion counts stay summed (full-batch counts)
+            metrics = {
+                k: (v if k == "confusion" else v / accum_steps)
+                for k, v in m_sum.items()
+            }
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
@@ -202,8 +240,13 @@ def train(
     distill=None,
     per_layer_lr_scales=None,
     clip_norm: float = None,
+    accum_steps: int = 1,
 ) -> dict:
     """One training phase (main_model_utils.py:100-191). Returns params.
+
+    accum_steps: gradient accumulation — split each batch into this many
+    microbatches inside the jitted step (see make_train_step); trains large
+    effective batches within one microbatch's activation memory.
 
     distill: optional (teacher_params, teacher_config, weight, temperature)
     forwarded to the train step (see total_loss_fn).
@@ -239,7 +282,7 @@ def train(
             opt = masked_adam(params, pol, lr, clip_norm=clip_norm)
         return opt, make_train_step(config, pcfg, loss_t, opt,
                                     compute_dtype=compute_dtype, remat=remat,
-                                    distill=distill)
+                                    distill=distill, accum_steps=accum_steps)
 
     start_epoch = 0
     state_path = (
@@ -341,11 +384,13 @@ def phased_train(
     full_testing: bool = True,
     compute_dtype=None,
     per_layer_lr_scales=None,
+    accum_steps: int = 1,
 ) -> dict:
     """The hi_main.py:161-168 two-phase schedule. compute_dtype=jnp.bfloat16
     runs forward/backward in bf16 with fp32 master params (~6.5x faster
     predictor phase on v5e). per_layer_lr_scales applies M19's per-predictor
-    learning rates to the predictor phase (see train())."""
+    learning rates to the predictor phase (see train()). accum_steps>1
+    gradient-accumulates over microbatches in both phases."""
     log = log or (lambda s: None)
     acc0 = evaluate(params, test_batches, config, pcfg, full_testing=full_testing, log=log)
     log(f"Test accuracy at starting: {acc0[:2]}")
@@ -357,12 +402,13 @@ def phased_train(
             log=log, best=best, full_testing=full_testing,
             compute_dtype=compute_dtype,
             per_layer_lr_scales=per_layer_lr_scales,
+            accum_steps=accum_steps,
         )
     if train_type in ("vit", "both"):
         params = train(
             params, train_batches, test_batches, config, pcfg,
             num_epochs=num_epochs[1], loss_type=loss_types[1], lr=lrs[1],
             log=log, best=None, full_testing=full_testing,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, accum_steps=accum_steps,
         )
     return params
