@@ -531,14 +531,18 @@ def main(argv=None):
                     "deit_small scale; the 32x32 gate default stays fp32 for "
                     "byte-reproducibility with round 2)")
     ap.add_argument("--headline_loss", choices=["bce_oracle", "mse_attention"],
-                    default="bce_oracle",
+                    default=None,
                     help="predictor training signal for the headline preset: "
                     "bce_oracle (M2, similarity-oracle labels — the gate-scale "
                     "default) or mse_attention (M7, CLS-attention regression — "
                     "the reference's recipe for top-k serving configs, "
-                    "pradeep/using_attention.py; required at deit_small @224 "
-                    "where the similarity oracle anti-aligns with class "
-                    "evidence and serving collapses as BCE training sharpens)")
+                    "pradeep/using_attention.py; REQUIRED at bench scale "
+                    "(deit_small/base @224) where the similarity oracle "
+                    "anti-aligns with class evidence and serving collapses as "
+                    "BCE training sharpens — so the default resolves to "
+                    "mse_attention for --gate_model != gate, bce_oracle at "
+                    "gate scale, making the documented invocation reproduce "
+                    "the recorded results without extra flags)")
     ap.add_argument("--predictor_hidden", type=int, default=64,
                     help="predictor MLP hidden width (PruneConfig default 64; "
                     "the reference uses ~500 on 768-dim ViT-B tokens)")
@@ -561,6 +565,11 @@ def main(argv=None):
     ap.add_argument("--section", default=None,
                     help="section key for --merge_into (e.g. deit_small_224)")
     args = ap.parse_args(argv)
+    if args.headline_loss is None:
+        # bench-scale gates need the M7 recipe (see the flag's help text)
+        args.headline_loss = (
+            "mse_attention" if args.gate_model != "gate" else "bce_oracle"
+        )
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")

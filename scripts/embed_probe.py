@@ -106,6 +106,40 @@ def main():
         t = timeit(amortized(fn, inner), (w, bb, x)) / inner
         out[name] = round(t * 1e3, 3)
         log(f"{name:13s}: {t * 1e3:.3f} ms/batch")
+
+    # uint8 serving embed: the fused Pallas kernel (normalize+project+pos in
+    # VMEM, ops/pallas/embed.py) vs XLA normalize->strided-conv->pos
+    from vit_pruning_tpu.ops.pallas.embed import embed_u8
+
+    embed_params = {
+        "patch": {"w": w, "b": bb},
+        "cls": params["embed"]["cls"].astype(dtype),
+        "pos": params["embed"]["pos"].astype(dtype),
+    }
+    u8 = jax.random.randint(jax.random.PRNGKey(2), (B, C, 224, 224), 0, 256,
+                            jnp.int32).astype(jnp.uint8)
+    pos = embed_params["pos"][:, 1:, :]
+
+    def f_u8_pallas(w_, b_, u):
+        return embed_u8(u, embed_params, cfg)
+
+    def f_u8_conv(w_, b_, u):
+        xn = ((u.astype(dtype) / 255.0) - 0.5) / 0.5
+        y = f_conv(w_, b_, xn) + pos
+        cls = (embed_params["cls"][0] + embed_params["pos"][0, :1]).astype(y.dtype)
+        cls = jnp.broadcast_to(cls[None], (y.shape[0], 1, y.shape[-1]))
+        return jnp.concatenate([cls, y], axis=1)
+
+    for name, fn in (("u8_pallas", f_u8_pallas), ("u8_conv", f_u8_conv)):
+        @jax.jit
+        def g(w_, b_, u, fn=fn):
+            def body(i, acc):
+                uu = (u + i.astype(jnp.uint8)).astype(jnp.uint8)
+                return acc + fn(w_, b_, uu).astype(jnp.float32).sum()
+            return jax.lax.fori_loop(0, inner, body, jnp.zeros((), jnp.float32))
+        t = timeit(g, (w, bb, u8)) / inner
+        out[name] = round(t * 1e3, 3)
+        log(f"{name:13s}: {t * 1e3:.3f} ms/batch")
     print(json.dumps(out))
 
 

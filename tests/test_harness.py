@@ -392,3 +392,5 @@ def test_grad_accumulation_matches_full_batch():
     with pytest.raises(ValueError, match="not divisible"):
         make_train_step(CFG, PCFG, "both", optimizer, accum_steps=3)(
             params, optimizer.init(params), batch, rng)
+    with pytest.raises(ValueError, match="accum_steps"):
+        make_train_step(CFG, PCFG, "both", optimizer, accum_steps=0)

@@ -77,3 +77,19 @@ def test_preprocess_rejects_bad_input():
         native.preprocess(RNG.rand(2, 32, 32, 3).astype(np.float32))
     with pytest.raises(ValueError):
         native.preprocess(RNG.randint(0, 256, (2, 32, 32, 4), np.uint8))
+
+
+def test_pil_preprocess_generator_and_per_channel_stats():
+    """The dispatch guard must not break the old pil_preprocess contract:
+    generator inputs (single pass) and per-channel mean/std broadcasting."""
+    ims = RNG.randint(0, 256, (4, 32, 32, 3), np.uint8)
+    from_gen = pil_preprocess((im for im in ims), size=64)
+    np.testing.assert_array_equal(from_gen, pil_preprocess(ims, size=64))
+    mean = [0.485, 0.456, 0.406]
+    std = [0.229, 0.224, 0.225]
+    got = pil_preprocess(ims, size=64, mean=np.float32(mean), std=np.float32(std))
+    ref = pil_preprocess(ims, size=64, mean=np.float32(mean),
+                         std=np.float32(std), _force_pil=True)
+    np.testing.assert_array_equal(got, ref)
+    with pytest.raises(ValueError, match="scalar"):
+        native.preprocess(ims, size=64, mean=mean, std=std)

@@ -103,26 +103,31 @@ def load_image_folder(
         labels = labels[idx]
     from vit_pruning_tpu import native
 
-    decoded = [
-        np.asarray(Image.open(f).convert("RGB"), dtype=np.uint8) for f in files
-    ]
-    if (
-        native.available()
-        and decoded
-        and len({im.shape for im in decoded}) == 1
-    ):
-        images = native.resize_bilinear(np.stack(decoded), image_size, image_size)
-    else:
-        images = np.stack(
-            [
-                np.asarray(
-                    Image.fromarray(im).resize((image_size, image_size), Image.BILINEAR),
+    # decode + resize in bounded chunks: a chunk of same-shape decodes goes
+    # through the native batch resampler in one call; mixed shapes fall back
+    # to per-image PIL. Peak host memory is one chunk of full-size decodes
+    # (not the whole tree), so arbitrary-size image folders stay safe.
+    chunk_size = 256
+    out = np.empty((len(files), image_size, image_size, 3), np.uint8)
+    use_native = native.available()
+    for lo in range(0, len(files), chunk_size):
+        decoded = [
+            np.asarray(Image.open(f).convert("RGB"), dtype=np.uint8)
+            for f in files[lo : lo + chunk_size]
+        ]
+        if use_native and decoded and len({im.shape for im in decoded}) == 1:
+            out[lo : lo + len(decoded)] = native.resize_bilinear(
+                np.stack(decoded), image_size, image_size
+            )
+        else:
+            for i, im in enumerate(decoded):
+                out[lo + i] = np.asarray(
+                    Image.fromarray(im).resize(
+                        (image_size, image_size), Image.BILINEAR
+                    ),
                     dtype=np.uint8,
                 )
-                for im in decoded
-            ]
-        )
-    return images, labels
+    return out, labels
 
 
 def synthetic_localized_dataset(

@@ -54,7 +54,9 @@ def pil_preprocess(
     """
     from PIL import Image
 
-    if not _force_pil:
+    if not isinstance(images, np.ndarray):
+        images = list(images)  # accept generators/iterators (single pass)
+    if not _force_pil and np.isscalar(mean) and np.isscalar(std):
         batch = None
         if isinstance(images, np.ndarray):
             batch = images

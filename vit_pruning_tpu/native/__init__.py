@@ -9,11 +9,14 @@ implements the same fixed-point separable resampling algorithm bit-exactly
 normalize + CHW epilogue fused into the same pass, multithreaded over images.
 
 Build model: compiled on demand with g++ (-O3, no external deps) into a
-source-hash-keyed shared library under `_build/`; rebuilds automatically when
-preprocess.cpp changes and never otherwise. Binding is ctypes — no pybind11
-dependency. Everything degrades gracefully: `available()` is False when g++
-or the build is broken, and callers (data/preprocess.py) fall back to the
-pure-PIL path with identical numerics.
+source-hash-keyed shared library under a writable cache directory
+(VIT_PRUNING_NATIVE_CACHE > the package's _build/ when writable >
+~/.cache/vit_pruning_tpu — installed site-packages are often read-only);
+rebuilds automatically when preprocess.cpp changes, pruning the previous
+hash's artifact. Binding is ctypes — no pybind11 dependency. Everything
+degrades gracefully: `available()` is False when g++ or the build is broken
+(a one-time warning says why), and callers (data/preprocess.py) fall back to
+the pure-PIL path with identical numerics.
 
 Set VIT_PRUNING_NO_NATIVE=1 to force the fallback (used by tests to compare
 both paths).
@@ -22,27 +25,41 @@ both paths).
 from __future__ import annotations
 
 import ctypes
+import glob
 import hashlib
 import os
 import subprocess
+import warnings
 from typing import Optional
 
 import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "preprocess.cpp")
-_BUILD_DIR = os.path.join(os.path.dirname(__file__), "_build")
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+
+
+def _build_dir() -> str:
+    env = os.environ.get("VIT_PRUNING_NATIVE_CACHE")
+    if env:
+        return env
+    pkg = os.path.join(os.path.dirname(__file__), "_build")
+    if os.access(os.path.dirname(__file__), os.W_OK):
+        return pkg
+    return os.path.join(
+        os.path.expanduser("~"), ".cache", "vit_pruning_tpu", "native"
+    )
 
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
     with open(_SRC, "rb") as f:
         src = f.read()
     tag = hashlib.sha256(src).hexdigest()[:16]
-    so_path = os.path.join(_BUILD_DIR, f"libvitpre_{tag}.so")
+    build_dir = _build_dir()
+    so_path = os.path.join(build_dir, f"libvitpre_{tag}.so")
     if not os.path.exists(so_path):
-        os.makedirs(_BUILD_DIR, exist_ok=True)
+        os.makedirs(build_dir, exist_ok=True)
         tmp = so_path + f".tmp{os.getpid()}"
         cmd = [
             "g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-pthread",
@@ -50,6 +67,12 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, so_path)  # atomic under concurrent builders
+        for stale in glob.glob(os.path.join(build_dir, "libvitpre_*.so")):
+            if stale != so_path:
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
     lib = ctypes.CDLL(so_path)
     lib.resize_bilinear_u8.restype = ctypes.c_int
     lib.resize_bilinear_u8.argtypes = [
@@ -75,7 +98,14 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         return None
     try:
         _lib = _build_and_load()
-    except Exception:
+    except Exception as e:  # degrade to the PIL path, but say why once
+        detail = getattr(e, "stderr", b"")
+        detail = f": {detail.decode(errors='replace').strip()}" if detail else ""
+        warnings.warn(
+            f"native preprocessing unavailable, falling back to PIL "
+            f"({type(e).__name__}: {e}{detail})",
+            RuntimeWarning,
+        )
         _lib = None
     return _lib
 
@@ -130,6 +160,12 @@ def preprocess(
     lib = _get_lib()
     if lib is None:
         raise RuntimeError("native preprocessing unavailable (g++/build failed)")
+    try:
+        mean, std = float(mean), float(std)  # per-channel stats: use the PIL path
+    except (TypeError, ValueError) as e:
+        raise ValueError(
+            f"native preprocess takes scalar mean/std, got {mean!r}/{std!r}"
+        ) from e
     images = _check_u8_batch(images)
     n, h, w, c = images.shape
     if c != 3:

@@ -32,6 +32,11 @@ from vit_pruning_tpu.checkpoint import BestCheckpoint
 
 COSINE_LOSS_RATIO = 1.0  # main_model_utils.py:103
 
+# metrics in total_loss_fn's dict that are COUNTS (summed across gradient-
+# accumulation microbatches); everything else is a batch mean (averaged).
+# Keep in sync with the metrics dict below.
+SUM_METRICS = ("confusion",)
+
 
 def total_loss_fn(
     params: dict,
@@ -81,7 +86,8 @@ def total_loss_fn(
         "pred_loss": pred_loss,
         "accuracy": jnp.mean((out["logits"].argmax(-1) == batch["labels"]).astype(jnp.float32)),
         # per-layer predictor-vs-oracle confusion counts, feeding the M19
-        # per-predictor running accuracy tracker (mukunda/deit.py:183-229)
+        # per-predictor running accuracy tracker (mukunda/deit.py:183-229).
+        # COUNTS, not a mean — listed in SUM_METRICS for grad accumulation.
         "confusion": out["aux"]["confusion"],
     }
     return total, metrics
@@ -114,6 +120,9 @@ def make_train_step(
     accum_steps=1 up to float reassociation (tested).
     """
 
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+
     def loss_fn(p, b, r):
         if compute_dtype is not None:
             p = jax.tree.map(lambda a: a.astype(compute_dtype), p)
@@ -121,11 +130,12 @@ def make_train_step(
         return total_loss_fn(p, b, config, pcfg, loss_type, r,
                              remat=remat, distill=distill)
 
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng):
         if accum_steps == 1:
-            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch, rng)
+            (_, metrics), grads = grad_fn(params, batch, rng)
         else:
             bsz = batch["labels"].shape[0]
             if bsz % accum_steps:
@@ -135,26 +145,29 @@ def make_train_step(
             micro = jax.tree.map(
                 lambda a: a.reshape((accum_steps, mb) + a.shape[1:]), batch)
             rngs = jax.random.split(rng, accum_steps)
+            # zero-initialized carry from eval_shape: ONE copy of the
+            # forward+backward graph (inside scan), not an unrolled first
+            # microbatch plus a scan body
             first = jax.tree.map(lambda a: a[0], micro)
-            (_, m0), g0 = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, first, rngs[0])
+            (_, m_shape), g_shape = jax.eval_shape(grad_fn, params, first, rngs[0])
+            zeros = lambda tree: jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), tree)
 
             def body(carry, inp):
                 g_acc, m_acc = carry
                 b_i, r_i = inp
-                (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                    params, b_i, r_i)
+                (_, m), g = grad_fn(params, b_i, r_i)
                 return (
                     jax.tree.map(jnp.add, g_acc, g),
                     jax.tree.map(jnp.add, m_acc, m),
                 ), None
 
-            rest = jax.tree.map(lambda a: a[1:], micro)
-            (g_sum, m_sum), _ = jax.lax.scan(body, (g0, m0), (rest, rngs[1:]))
+            (g_sum, m_sum), _ = jax.lax.scan(
+                body, (zeros(g_shape), zeros(m_shape)), (micro, rngs))
             grads = jax.tree.map(lambda g: g / accum_steps, g_sum)
-            # means average; confusion counts stay summed (full-batch counts)
+            # means average; count metrics stay summed (full-batch counts)
             metrics = {
-                k: (v if k == "confusion" else v / accum_steps)
+                k: (v if k in SUM_METRICS else v / accum_steps)
                 for k, v in m_sum.items()
             }
         updates, opt_state = optimizer.update(grads, opt_state, params)
