@@ -443,3 +443,26 @@ def test_patch_embed_conv_impl_matches_matmul():
                         16, impl="conv").astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(got16), np.asarray(ref),
                                atol=0.15, rtol=0.05)
+
+
+def test_embed_u8_kernel_matches_xla_path():
+    """The superseded Pallas u8 embed (kept as a documented negative —
+    serving now uses the 5x-faster XLA embed_from_u8) still computes the
+    same embeddings."""
+    from vit_pruning_tpu.configs import vit_tiny
+    from vit_pruning_tpu.models.vit import init_vit_params
+    from vit_pruning_tpu.ops.pallas.embed import embed_u8
+    from vit_pruning_tpu.serving import embed_from_u8
+
+    cfg = vit_tiny()
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    u8 = jnp.asarray(
+        np.random.RandomState(0).randint(
+            0, 256, (2, 3, cfg.image_size, cfg.image_size), np.uint8
+        )
+    )
+    ref = embed_from_u8(u8, params["embed"], cfg)
+    got = embed_u8(u8, params["embed"], cfg, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)

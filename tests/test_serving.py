@@ -84,8 +84,12 @@ def test_export_serving_roundtrip(setup, tmp_path):
     export_serving(params, CFG, pcfg, batch_size=2, path=path,
                    use_pallas=False, interpret=True)
     call = load_exported(path)
-    direct = serving_forward(params, jnp.asarray(u8), CFG, pcfg,
-                             use_pallas=False, interpret=True)["logits"]
+    # compare against the JITTED direct call (the deployment usage): the
+    # artifact is a compiled program, and XLA's fusion may differ from
+    # eager op-by-op dispatch in the last float bits
+    direct = jax.jit(lambda p, u: serving_forward(
+        p, u, CFG, pcfg, use_pallas=False, interpret=True)["logits"])(
+        params, jnp.asarray(u8))
     reloaded = call(params, jnp.asarray(u8))
     np.testing.assert_array_equal(np.asarray(reloaded), np.asarray(direct))
     # jittable and shape-checked

@@ -90,7 +90,15 @@ def fused_patch_embed_u8(
 
 def embed_u8(pixel_values_u8: jnp.ndarray, embed_params: dict, config, interpret=False):
     """Full embedding path from raw uint8 [B, C, H, W]: extract -> fused
-    normalize+project+pos -> prepend CLS (+ its position embedding)."""
+    normalize+project+pos -> prepend CLS (+ its position embedding).
+
+    DOCUMENTED NEGATIVE, superseded by `serving.embed_from_u8` (XLA
+    normalize -> strided conv): dispatch-corrected on v5e this kernel path
+    measures 5.44 ms/batch-512 vs 1.07 ms for the XLA program
+    (scripts/embed_probe.py u8 rows) — extract_patches materializes the
+    [B, N, C*P*P] uint8 patch tensor through HBM as a pallas_call input,
+    which XLA's conv emitter never does. Kept in-tree with parity tests as
+    the recorded experiment (same lesson as fused_patch_embed_f below)."""
     patches = extract_patches(pixel_values_u8, config.patch_size)  # uint8 shuffle
     pos = embed_params["pos"][0]  # [S, D]
     x = fused_patch_embed_u8(

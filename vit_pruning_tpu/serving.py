@@ -1,11 +1,13 @@
-"""Serving entry point: raw uint8 images -> logits, fully fused.
+"""Serving entry point: raw uint8 images -> logits.
 
 The deployment path: uint8 pixels transfer to the device (4x less PCIe/HBM
-traffic than float32), the fused Pallas embed kernel normalizes + projects
-them (ops/pallas/embed.py), and the progressive-compaction pruned encoder
-classifies. The headline benchmark measures the float-input progressive path
-(both sides fed identically); `bench.py --serving` measures this uint8 path,
-whose win is host->device transfer, not on-chip time.
+traffic than float32), XLA normalizes + patch-projects them in one fused
+strided-conv program (embed_from_u8 below — it replaced the Pallas u8 embed
+kernel, which measured 5x slower; see its docstring), and the
+progressive-compaction pruned encoder classifies. The headline benchmark
+measures the float-input progressive path (both sides fed identically);
+`bench.py --serving` measures this uint8 path, whose extra win over the
+headline is host->device transfer, not on-chip time.
 """
 
 from __future__ import annotations
@@ -16,8 +18,36 @@ import jax
 import jax.numpy as jnp
 
 from vit_pruning_tpu.configs import PruneConfig, ViTConfig
+from vit_pruning_tpu.data.preprocess import VIT_MEAN, VIT_STD
 from vit_pruning_tpu.models.pruned_vit import progressive_topk_forward
-from vit_pruning_tpu.ops.pallas.embed import embed_u8
+from vit_pruning_tpu.ops.patch_embed import patch_embed
+
+
+def embed_from_u8(
+    pixels_u8: jnp.ndarray, embed_params: dict, config: ViTConfig,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """uint8 [B, C, H, W] -> embeddings [B, S, D] (normalize + patch
+    projection + position add + CLS), all in XLA.
+
+    This replaced the fused Pallas u8 embed kernel (ops/pallas/embed.py) as
+    the serving embed: dispatch-corrected on v5e the kernel measures 5.44
+    ms/batch-512 vs 1.07 ms for normalize -> strided-conv -> pos-add here
+    (scripts/embed_probe.py u8 rows) — the same lesson as the float embed
+    fusion: the patch index shuffle a pallas_call input needs forces HBM
+    materialization that XLA's conv emitter never performs. The uint8
+    host->device transfer win (4x less traffic than float32) is identical
+    on both paths since normalization happens on device either way.
+    """
+    w_dtype = embed_params["patch"]["w"].dtype
+    x = (pixels_u8.astype(jnp.float32) / 255.0 - VIT_MEAN) / VIT_STD
+    y = patch_embed(x.astype(w_dtype), embed_params["patch"],
+                    config.patch_size, impl=impl)
+    pos = embed_params["pos"]
+    y = y + pos[:, 1:]
+    cls = (embed_params["cls"] + pos[:, :1]).astype(y.dtype)
+    cls = jnp.broadcast_to(cls, (y.shape[0], 1, y.shape[-1]))
+    return jnp.concatenate([cls, y], axis=1)
 
 
 def serving_forward(
@@ -38,10 +68,13 @@ def serving_forward(
     fuses the last layer + final-LN + classifier into a CLS-only kernel on
     the Pallas path (ops/pallas/layer.py).
     quant: serving quantization mode ('none'/'int8'); None reads the
-    dispatch global at trace time."""
+    dispatch global at trace time.
+    `interpret` is accepted for API stability (the embed is pure XLA now —
+    see embed_from_u8 — so nothing is left to interpret off-TPU)."""
+    del interpret
     if pixels_u8.dtype != jnp.uint8:
         raise ValueError(f"serving_forward expects uint8 pixels, got {pixels_u8.dtype}")
-    x0 = embed_u8(pixels_u8, params["backbone"]["embed"], config, interpret=interpret)
+    x0 = embed_from_u8(pixels_u8, params["backbone"]["embed"], config)
     return progressive_topk_forward(
         params, None, config, pcfg, use_pallas=use_pallas, quant=quant, x0=x0,
         logits_only=logits_only,
