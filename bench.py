@@ -140,15 +140,39 @@ def main():
               "deit_base": deit_base, "vit_large": vit_large}
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
-    def measure(model_name: str, skip: float, mode: str) -> dict:
+    def measure(model_name: str, skip: float, mode: str, composed: bool = False) -> dict:
         config = models[model_name](num_labels=100)
         n = config.num_patches
         params0 = init_pruned_vit_params(
             jax.random.PRNGKey(0), config,
             PruneConfig(mode="mask", predictor="cls_mlp"),
         )
-        params0 = jax.tree.map(lambda a: a.astype(dtype), params0)
         xb = jax.random.normal(jax.random.PRNGKey(1), (args.batch, 3, 224, 224), dtype)
+        if composed:
+            from vit_pruning_tpu.configs import composed_schedule, schedule_live
+            from vit_pruning_tpu.ops.structured import prune_heads, prune_mlp_channels
+
+            csched = composed_schedule(n, config.num_layers)
+            cpcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                                loss="mse_attention", top_k=csched[0],
+                                keep_schedule=csched)
+            bb, c_config = prune_heads(
+                params0["backbone"], config,
+                [list(range(0, config.num_heads, 2))] * config.num_layers)
+            params0["backbone"] = prune_mlp_channels(
+                bb, [list(range(0, config.mlp_dim, 2))] * config.num_layers)
+            params0 = jax.tree.map(lambda a: a.astype(dtype), params0)
+            fn = amortized(
+                lambda p, v: progressive_topk_forward(
+                    p, v, c_config, cpcfg, logits_only=True)["logits"],
+                args.inner)
+            t = timeit(fn, (params0, xb), args.iters) / args.inner
+            live = [v - 1 for v in schedule_live(csched, n)]
+            return {"model": model_name, "skip": round(1.0 - sum(live) / len(live) / n, 4),
+                    "mode": "composed",
+                    "img_per_sec_chip": round(args.batch / t, 1),
+                    "ms_per_batch": round(t * 1e3, 2)}
+        params0 = jax.tree.map(lambda a: a.astype(dtype), params0)
         if skip <= 0:
             fn = amortized(
                 lambda p, v: vit_forward(p["backbone"], v, config)["logits"], args.inner
@@ -176,6 +200,10 @@ def main():
             ["deit_tiny", "deit_small", "deit_base"], [0.0, 0.25, 0.5]
         ):
             row = measure(mname, skip, args.mode)
+            rows.append(row)
+            log(row)
+        for mname in ("deit_tiny", "deit_small", "deit_base"):
+            row = measure(mname, 0.0, args.mode, composed=True)
             rows.append(row)
             log(row)
         with open("bench_full.json", "w") as fh:
@@ -327,6 +355,7 @@ def main():
         "value": round(pruned_ips, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(pruned_ips / dense_ips, 3),
+        "dense_img_per_sec": round(dense_ips, 1),
     }
     if args.quant != "none":
         # same-quantization dense control, so both comparisons are on record
