@@ -360,3 +360,23 @@ def test_zero1_moments_shard_over_data_and_match_dense_step():
     # a replicated param's moment (layernorm gain, [L, D]) also shards
     ln = mu["backbone"]["layers"]["ln1"]["g"]
     assert ln.sharding.shard_shape(ln.shape) != ln.shape
+
+
+def test_parallel_serving_step_matches_single_device():
+    """Batch-sharded uint8 serving (dp x tp) == the single-device
+    serving_forward, and the output is data-sharded."""
+    from vit_pruning_tpu.parallel import make_parallel_serving_step
+    from vit_pruning_tpu.serving import serving_forward
+
+    pcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp", top_k=2)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    mesh = make_mesh(data=2, model=4)
+    sharded = shard_params(params, mesh)
+    u8 = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (8, 3, CFG.image_size, CFG.image_size), np.uint8))
+    step = make_parallel_serving_step(CFG, pcfg, mesh, params)
+    got = step(sharded, u8)
+    want = serving_forward(params, u8, CFG, pcfg, logits_only=True)["logits"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    assert "data" in str(got.sharding.spec)

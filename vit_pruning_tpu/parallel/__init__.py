@@ -8,6 +8,7 @@ from vit_pruning_tpu.parallel.sharding import (  # noqa: F401
 from vit_pruning_tpu.parallel.steps import (  # noqa: F401
     make_parallel_train_step,
     make_parallel_eval_step,
+    make_parallel_serving_step,
     init_sharded_opt_state,
     zero1_pspecs,
 )

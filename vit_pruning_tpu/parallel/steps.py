@@ -180,3 +180,25 @@ def make_parallel_eval_step(
         return res
 
     return jax.jit(step, in_shardings=(params_sh, batch_sh))
+
+
+def make_parallel_serving_step(
+    config: ViTConfig,
+    pcfg: PruneConfig,
+    mesh: Mesh,
+    params_like: dict,
+) -> Callable:
+    """Scale-out deployment forward: uint8 [B, C, H, W] -> logits, batch-
+    sharded over 'data' with the same Megatron param shardings as eval —
+    serving scales over a slice exactly like the fine-tune path does (the
+    reference has no multi-device story at all, SURVEY.md §2.4)."""
+    from vit_pruning_tpu.serving import serving_forward
+
+    params_sh = _named(mesh, resolve_pspecs(params_like, mesh))
+    u8_sh = NamedSharding(mesh, P("data"))
+
+    def step(params, pixels_u8):
+        return serving_forward(params, pixels_u8, config, pcfg,
+                               logits_only=True)["logits"]
+
+    return jax.jit(step, in_shardings=(params_sh, u8_sh))
