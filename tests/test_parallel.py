@@ -380,3 +380,34 @@ def test_parallel_serving_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
     assert "data" in str(got.sharding.spec)
+
+
+def test_pruned_pipeline_merge_dropped_matches_single_chip():
+    """merge_dropped rides the pipeline: token sizes cross stage hops as an
+    extra feature column and the staged forward matches the single-chip
+    progressive forward bit-for-bit (same drops, same merges). The second
+    drop lands mid-stage with non-unit accumulated sizes."""
+    from vit_pruning_tpu.models.pruned_vit import (
+        init_pruned_vit_params,
+        progressive_topk_forward,
+    )
+    from vit_pruning_tpu.parallel.pipeline import (
+        make_stage_mesh,
+        pruned_pipeline_forward,
+    )
+
+    cfg = ViTConfig(image_size=16, patch_size=4, hidden_size=32, num_layers=4,
+                    num_heads=2, mlp_dim=64, num_labels=5)  # 16 patches
+    pcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                       keep_schedule=(10, 0, 6, 0), merge_dropped=True)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), cfg, pcfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 16, 16))
+
+    want = progressive_topk_forward(params, x, cfg, pcfg, use_pallas=False)["logits"]
+    mesh = make_stage_mesh(2)
+    got = jax.jit(
+        lambda p, v: pruned_pipeline_forward(p, v, cfg, pcfg, mesh,
+                                             num_microbatches=4)
+    )(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

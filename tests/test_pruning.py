@@ -429,3 +429,111 @@ def test_attention_agreement_skips_inactive_drop_layers():
     cap_a, agree_a = attention_topk_agreement(params, tb, CFG, pcfg_a)
     cap_b, agree_b = attention_topk_agreement(params, tb, CFG, pcfg_b)
     assert cap_a == cap_b and agree_a == agree_b
+
+
+# --- merge_dropped (ToMe-flavored compaction, framework extension) -----------
+
+def _merge_reference(x_full, mask, sizes):
+    """Per-image numpy reference for merge_dropped_tokens: each dropped patch
+    token merges (size-weighted) into its most cosine-similar kept patch."""
+    b, s, d = x_full.shape
+    out_x, out_sz = [], []
+    for i in range(b):
+        kept_idx = np.where(mask[i])[0]          # includes CLS at 0
+        kept_p_idx = kept_idx[kept_idx != 0]     # kept patches only
+        drop_idx = np.where(~mask[i])[0]
+        acc = {int(t): (x_full[i, t] * sizes[i, t], sizes[i, t])
+               for t in kept_p_idx}
+        kept_p = x_full[i, kept_p_idx]
+        kn = kept_p / np.sqrt((kept_p ** 2).sum(-1, keepdims=True) + 1e-6)
+        for t in drop_idx:
+            v = x_full[i, t]
+            vn = v / np.sqrt((v ** 2).sum() + 1e-6)
+            tgt = int(kept_p_idx[np.argmax(kn @ vn)])
+            num, sz = acc[tgt]
+            acc[tgt] = (num + v * sizes[i, t], sz + sizes[i, t])
+        rows, szs = [x_full[i, 0]], [sizes[i, 0]]  # CLS untouched
+        for t in kept_p_idx:
+            num, sz = acc[int(t)]
+            rows.append(num / sz)
+            szs.append(sz)
+        out_x.append(np.stack(rows))
+        out_sz.append(np.array(szs))
+    return np.stack(out_x), np.stack(out_sz)
+
+
+def test_merge_dropped_matches_naive_reference():
+    from vit_pruning_tpu.models.pruned_vit import merge_dropped_tokens
+    from vit_pruning_tpu.ops.masking import rank_keep_mask as rkm
+
+    rng = np.random.RandomState(0)
+    b, s, d, k = 3, 13, 8, 5
+    x = rng.randn(b, s, d).astype(np.float32)
+    scores = rng.randn(b, s - 1).astype(np.float32)
+    # non-trivial accumulated sizes (as if from an earlier drop)
+    sizes = rng.randint(1, 4, size=(b, s)).astype(np.float32)
+    sizes[:, 0] = 1.0
+
+    keep = np.asarray(rkm(jnp.asarray(scores), k))
+    mask = np.asarray(add_cls_keep(jnp.asarray(keep)))
+    # compacted kept rows (original order), as progressive_drop produces
+    xc = np.stack([x[i][np.where(mask[i])[0]] for i in range(b)])
+
+    got_x, got_sz = merge_dropped_tokens(
+        jnp.asarray(x), jnp.asarray(xc), jnp.asarray(scores), k,
+        jnp.asarray(sizes))
+    ref_x, ref_sz = _merge_reference(x, mask, sizes)
+    np.testing.assert_allclose(np.asarray(got_sz), ref_sz, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_x), ref_x, atol=1e-5)
+
+
+def test_merge_dropped_conserves_mass_and_cls():
+    """Size-weighted token mass is conserved per feature; CLS row and size
+    pass through untouched."""
+    from vit_pruning_tpu.models.pruned_vit import merge_dropped_tokens
+    from vit_pruning_tpu.ops.masking import rank_keep_mask as rkm
+
+    rng = np.random.RandomState(1)
+    b, s, d, k = 2, 17, 16, 6
+    x = rng.randn(b, s, d).astype(np.float32)
+    scores = rng.randn(b, s - 1).astype(np.float32)
+    sizes = np.ones((b, s), np.float32)
+
+    keep = np.asarray(rkm(jnp.asarray(scores), k))
+    mask = np.asarray(add_cls_keep(jnp.asarray(keep)))
+    xc = np.stack([x[i][np.where(mask[i])[0]] for i in range(b)])
+
+    got_x, got_sz = merge_dropped_tokens(
+        jnp.asarray(x), jnp.asarray(xc), jnp.asarray(scores), k,
+        jnp.asarray(sizes))
+    got_x, got_sz = np.asarray(got_x), np.asarray(got_sz)
+    np.testing.assert_allclose(got_x[:, 0], x[:, 0], atol=0)
+    np.testing.assert_allclose(got_sz[:, 0], sizes[:, 0], atol=0)
+    # patch mass: sum over compacted patches of x*size == sum over all patches
+    np.testing.assert_allclose(
+        (got_x[:, 1:] * got_sz[:, 1:, None]).sum(1),
+        (x[:, 1:] * sizes[:, 1:, None]).sum(1), atol=1e-4)
+    assert got_sz[:, 1:].sum() == pytest.approx(float(s - 1) * b)
+
+
+def test_merge_dropped_end_to_end_progressive():
+    """PruneConfig.merge_dropped changes the values (merged information) but
+    not the selection (keep_masks identical), across two scheduled drops."""
+    from vit_pruning_tpu.models.pruned_vit import progressive_topk_forward
+
+    cfg = CFG
+    common = dict(mode="topk_prog", predictor="cls_mlp", top_k=9,
+                  keep_schedule=(9, 0, 5))
+    pcfg_off = PruneConfig(**common)
+    pcfg_on = PruneConfig(merge_dropped=True, **common)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), cfg, pcfg_off)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, cfg.image_size,
+                                                  cfg.image_size))
+    off = progressive_topk_forward(params, x, cfg, pcfg_off, use_pallas=False)
+    on = progressive_topk_forward(params, x, cfg, pcfg_on, use_pallas=False)
+    assert on["logits"].shape == off["logits"].shape
+    # first drop's selection is identical (same scores feed the decision);
+    # values afterwards differ because dropped tokens merged in
+    np.testing.assert_array_equal(np.asarray(on["keep_masks"][0]),
+                                  np.asarray(off["keep_masks"][0]))
+    assert float(jnp.abs(on["logits"] - off["logits"]).max()) > 1e-6

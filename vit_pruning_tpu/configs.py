@@ -245,6 +245,16 @@ class PruneConfig:
     # stream through the whole encoder as the teacher (M19,
     # mukunda/deit.py:241-343 `original` kwarg).
     oracle_stream: str = "local"
+    # OUR EXTENSION (ToMe-flavored; not in the reference, whose closest
+    # relative is M2's neighbor averaging): in mode='topk_prog', each
+    # dropped patch token MERGES (size-weighted average) into its most
+    # cosine-similar kept patch token at the compaction point instead of
+    # vanishing — information-preserving compaction at identical layer cost
+    # (the merge itself is three batched matmuls per drop layer). Token
+    # "sizes" accumulate across drops so later merges weight correctly.
+    # Serving-path (progressive) only; the per-layer re-decide training
+    # path ignores it. CLS never merges in either direction.
+    merge_dropped: bool = False
     # focal loss parameters (main_model_utils.py:15-38)
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
@@ -263,6 +273,12 @@ class PruneConfig:
             raise ValueError(f"skip_correction {self.skip_correction!r}")
         if self.oracle_stream not in ("local", "parallel"):
             raise ValueError(f"oracle_stream {self.oracle_stream!r}")
+        if self.merge_dropped and self.mode != "topk_prog":
+            raise ValueError(
+                "merge_dropped applies to the progressive serving path only "
+                "(mode='topk_prog'); the per-layer re-decide modes never "
+                "physically drop tokens, so there is nothing to merge"
+            )
         if self.mode == "topk_prog" and self.predictor in (
             "compressor", "shared_compressor", "cnn"
         ):

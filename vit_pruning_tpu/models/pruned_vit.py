@@ -635,6 +635,60 @@ def progressive_drop(
     return xc, scores, cidx
 
 
+def merge_dropped_tokens(
+    x_full: jnp.ndarray,
+    xc: jnp.ndarray,
+    scores: jnp.ndarray,
+    k: int,
+    sizes: jnp.ndarray,
+):
+    """ToMe-flavored compaction (PruneConfig.merge_dropped): each DROPPED
+    patch token merges into its most cosine-similar KEPT patch token as a
+    size-weighted average, so its information survives the drop instead of
+    vanishing. The framework extension closest to the reference's
+    neighbor-averaging idea (himanshu/model_utils.py:47-51), executed as
+    three batched matmuls (sim, value scatter-add, size scatter-add) — all
+    MXU work, no dynamic gather.
+
+    x_full: [B, S, D] pre-compaction sequence; xc: [B, k+1, D] compacted
+    (CLS + kept patches, from progressive_drop on the same scores);
+    sizes: [B, S] accumulated token sizes (ones at layer 0).
+    Returns (xc_merged [B, k+1, D], sizes_compacted [B, k+1]).
+
+    Invariant (tested): sum(merged * new_sizes) == sum(x_full * sizes) per
+    feature — merging conserves the size-weighted token mass. CLS never
+    merges in either direction.
+    """
+    dtype = x_full.dtype
+    keep = rank_keep_mask(scores, k)  # [B, S-1] — same decision as the drop
+    mask = add_cls_keep(keep)  # [B, S]
+    # sizes of the compacted rows, via the same rank/cumsum one-hot
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1
+    P = (
+        rank[:, None, :]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, k + 1, 1), 1)
+    ) & mask[:, None, :]  # [B, k+1, S]
+    sz_c = jnp.einsum("brt,bt->br", P.astype(dtype), sizes)  # [B, k+1]
+
+    kept_p = xc[:, 1:, :]  # [B, k, D]
+    xn = x_full * jax.lax.rsqrt(
+        jnp.sum(jnp.square(x_full), -1, keepdims=True) + 1e-6)
+    kn = kept_p * jax.lax.rsqrt(
+        jnp.sum(jnp.square(kept_p), -1, keepdims=True) + 1e-6)
+    sim = jnp.einsum("bsd,bkd->bsk", xn, kn)  # [B, S, k]
+    dropped = (~mask).astype(dtype)  # [B, S]; CLS row is 0 by construction
+    assign = (
+        jax.nn.one_hot(jnp.argmax(sim, -1), k, dtype=dtype)
+        * dropped[:, :, None]
+    )  # [B, S, k] — one-hot target per dropped token, zero rows elsewhere
+    add_num = jnp.einsum("bsk,bsd->bkd", assign, x_full * sizes[..., None])
+    add_sz = jnp.einsum("bsk,bs->bk", assign, sizes)
+    new_sz = sz_c[:, 1:] + add_sz
+    merged = (kept_p * sz_c[:, 1:, None] + add_num) / new_sz[:, :, None]
+    xc_merged = jnp.concatenate([xc[:, :1], merged], axis=1)
+    return xc_merged, jnp.concatenate([sz_c[:, :1], new_sz], axis=1)
+
+
 def _progressive_drop_topk(x, scores, k):
     """Reference formulation of progressive_drop's compaction (top_k →
     sorted indices → index-equality one-hot). Used only by the parity test
@@ -714,6 +768,8 @@ def progressive_topk_forward(
     orig = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
     masks, scores_l = [], []
     cur = s
+    # merge_dropped: accumulated token sizes (merge weights) across drops
+    sizes = jnp.ones((b, s), x.dtype) if pcfg.merge_dropped else None
 
     # group consecutive no-drop layers into segments so each segment runs in
     # ONE whole-encoder megakernel launch (activations VMEM-resident across
@@ -751,8 +807,11 @@ def progressive_topk_forward(
         if k_i and k_i < cur - 1 and _is_active(pcfg, i):
             x = run_segment(x, seg_start, i)
             seg_start = i
+            x_full = x
             x, scores, cidx = progressive_drop(x, pred, i, k_i, config, pcfg,
                                                layer_params=lp)
+            if pcfg.merge_dropped:
+                x, sizes = merge_dropped_tokens(x_full, x, scores, k_i, sizes)
             # report scores at original patch positions (dropped = -inf)
             patch_orig = orig[:, 1:] - 1  # [B, cur-1] original patch indices
             full_scores = jnp.full((b, s - 1), -jnp.inf, scores.dtype)

@@ -184,7 +184,8 @@ def pruned_pipeline_forward(
     Drops may fall anywhere (stage boundaries need NOT align with
     keep_schedule compaction points — a mid-stage drop is static within that
     stage's branch). Selection semantics are shared with the single-chip path
-    via `progressive_drop`. Layer weights and per-layer (stacked) predictor
+    via `progressive_drop`; `pcfg.merge_dropped` is honored too (token sizes
+    ride the hop buffer as one extra feature column, see below). Layer weights and per-layer (stacked) predictor
     heads are sharded over 'stage' on their leading [L] axis; shared
     predictor parts replicate. Composes with data parallelism over a
     ('stage','data') mesh exactly like `pipeline_forward`.
@@ -193,6 +194,7 @@ def pruned_pipeline_forward(
     """
     from vit_pruning_tpu.models.pruned_vit import (
         _is_active,
+        merge_dropped_tokens,
         progressive_drop,
     )
     from vit_pruning_tpu.models.vit import _layer_slice as _slice
@@ -224,7 +226,14 @@ def pruned_pipeline_forward(
 
     x = embed(pixel_values, backbone["embed"], config)  # [B, S, D] replicated
     s_len, d = x.shape[1], x.shape[2]
-    mbs = x.reshape(num_microbatches, mb, s_len, d)
+    # merge_dropped: token sizes (merge weights) ride the inter-stage hop
+    # buffer as one extra feature column ([..., d]), initialised to 1 —
+    # ppermute/where/update logic is unchanged, only the channel dim grows
+    merge = bool(getattr(pcfg, "merge_dropped", False))
+    if merge:
+        x = jnp.concatenate([x, jnp.ones(x.shape[:2] + (1,), x.dtype)], -1)
+    dm = x.shape[2]
+    mbs = x.reshape(num_microbatches, mb, s_len, dm)
 
     # static drop pattern — the exact decision loop of progressive_topk_forward
     schedule = pcfg.keep_schedule or tuple([pcfg.top_k] + [0] * (L - 1))
@@ -272,17 +281,24 @@ def pruned_pipeline_forward(
             l0 = s * per_stage
 
             def br(x_pad):
-                x = x_pad[:, : stage_in[s]]
+                x = x_pad[:, : stage_in[s], :d]
+                sizes = x_pad[:, : stage_in[s], d] if merge else None
                 for j in range(per_stage):
                     g = l0 + j
                     lp = _slice(local_layers, j)
                     if drop_at[g]:
-                        x, _, _ = progressive_drop(
+                        x_full = x
+                        x, scores, _ = progressive_drop(
                             x, local_pred, j, schedule[g], config, pcfg,
                             layer_params=lp,
                         )
+                        if merge:
+                            x, sizes = merge_dropped_tokens(
+                                x_full, x, scores, schedule[g], sizes)
                     x = vit_layer(x, lp, config, use_pallas=use_pallas,
                                   quant=quant)
+                if merge:
+                    x = jnp.concatenate([x, sizes[..., None]], -1)
                 return jnp.pad(x, ((0, 0), (0, s_len - x.shape[1]), (0, 0)))
 
             return br
@@ -306,7 +322,7 @@ def pruned_pipeline_forward(
             buf = jax.lax.ppermute(y, "stage", fwd)
             return buf, out
 
-        buf0 = jax.lax.pcast(jnp.zeros((mb_local, s_len, d), mbs.dtype),
+        buf0 = jax.lax.pcast(jnp.zeros((mb_local, s_len, dm), mbs.dtype),
                              tuple(mesh.axis_names), to="varying")
         out0 = jax.lax.pcast(jnp.zeros_like(mbs), ("stage",), to="varying")
         _, out = jax.lax.fori_loop(0, T, step, (buf0, out0))
@@ -314,7 +330,7 @@ def pruned_pipeline_forward(
             jnp.where(stage == stages - 1, out, jnp.zeros_like(out)), "stage"
         )
 
-    out = run(backbone["layers"], pred, mbs)  # [M, mb, S(padded), D]
-    h = out.reshape(b, s_len, d)[:, :final_len]
+    out = run(backbone["layers"], pred, mbs)  # [M, mb, S(padded), D(+1)]
+    h = out.reshape(b, s_len, dm)[:, :final_len, :d]
     h = layer_norm(h, backbone["ln_f"], config.layernorm_eps)
     return h[:, 0] @ backbone["head"]["w"] + backbone["head"]["b"]
