@@ -400,6 +400,30 @@ def main():
             f"(3/6 heads, 1/2 mlp, {1.0 - sum(live) / len(live) / n:.0%} token skip)")
         result["composed_img_per_sec"] = round(args.batch / t_comp, 1)
         result["composed_vs_dense"] = round(t_dense / t_comp, 3)
+
+        # ultra preset: same structural pruning, ~halved live token counts,
+        # served with merge compaction (PruneConfig.merge_dropped) so the
+        # dropped tokens' information survives the deeper budget — accuracy
+        # story in quality_results.json (quality.py --merge_dropped)
+        from vit_pruning_tpu.configs import ultra_schedule
+
+        usched = ultra_schedule(n, config.num_layers)
+        upcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                            loss="mse_attention", top_k=usched[0],
+                            keep_schedule=usched, merge_dropped=True)
+        ultra = amortized(
+            lambda p, v: progressive_topk_forward(
+                p, v, c_config, upcfg, logits_only=True)["logits"],
+            args.inner,
+        )
+        t_ultra = timeit(ultra, (cparams, x), args.iters) / args.inner
+        ulive = [v - 1 for v in schedule_live(usched, n)]
+        log(f"ultra+merge: {args.batch / t_ultra:.1f} img/s/chip "
+            f"({t_ultra * 1e3:.2f} ms/batch) = {t_dense / t_ultra:.2f}x dense "
+            f"(3/6 heads, 1/2 mlp, {1.0 - sum(ulive) / len(ulive) / n:.0%} token "
+            f"skip, merge compaction)")
+        result["ultra_merge_img_per_sec"] = round(args.batch / t_ultra, 1)
+        result["ultra_merge_vs_dense"] = round(t_dense / t_ultra, 3)
     print(json.dumps(result))
 
 

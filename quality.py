@@ -491,10 +491,12 @@ def measure_preset(params, eval_cfg, pcfg, train_b, test_b, args, log,
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset",
-                    choices=["headline", "composed", "mask", "both", "all"],
+                    choices=["headline", "composed", "mask", "ultra",
+                             "both", "all"],
                     default="headline",
                     help="'both' = headline+composed (round-2 surface); "
-                    "'all' adds the mask serving preset")
+                    "'all' adds the mask serving preset; 'ultra' = the "
+                    "deeper ultra_schedule (intended with --merge_dropped)")
     ap.add_argument("--skip", type=float, default=0.5)
     ap.add_argument("--max_drop", type=float, default=0.005)
     ap.add_argument("--min_predictor_acc", type=float, default=0.85)
@@ -559,6 +561,14 @@ def main(argv=None):
                     "independent of kernel dispatch) or 'auto' (Pallas "
                     "megakernels via their grad-parity-tested custom VJP; "
                     "~2-3x faster at deit_small @224 scale)")
+    ap.add_argument("--merge_dropped", action="store_true",
+                    help="serve topk_prog presets with ToMe-flavored merge "
+                    "compaction (PruneConfig.merge_dropped — dropped tokens "
+                    "merge into their most similar kept token instead of "
+                    "vanishing): training is unchanged (the re-decide train "
+                    "path never physically drops), the trained weights are "
+                    "re-measured with merge on, and the usual accuracy gates "
+                    "apply to the merged serving config")
     ap.add_argument("--merge_into", default=None,
                     help="merge results into this JSON file under --section "
                     "(e.g. quality_results.json)")
@@ -690,6 +700,36 @@ def main(argv=None):
             target_skip=1.0 - (sum(live) / len(live)) / (n + 1),
             structured=True, check_predictor=False,
         )
+    if args.preset == "ultra":
+        from vit_pruning_tpu.configs import schedule_live, ultra_schedule
+
+        # the ultra preset = composed recipe, ~halved live token counts
+        # (bench.py's ultra row); designed to be served with
+        # --merge_dropped so the deeper budget keeps its information
+        schedule = ultra_schedule(n, config.num_layers)
+        live = schedule_live(schedule, n)
+        presets["ultra"] = dict(
+            pcfg=PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                             loss="mse_attention", top_k=schedule[0],
+                             keep_schedule=schedule,
+                             sim_threshold=args.sim_threshold,
+                             predictor_hidden=args.predictor_hidden),
+            target_skip=1.0 - (sum(live) / len(live)) / (n + 1),
+            structured=True, check_predictor=False,
+        )
+
+    if args.merge_dropped:
+        # serve topk_prog presets with merge compaction (framework
+        # extension; RESULTS.md §merge_dropped). Flipped at preset
+        # construction so the in-training best-epoch eval and the final
+        # measurement both use the true serving semantics; the training
+        # forward itself is unchanged (the re-decide train path never
+        # physically drops tokens). Non-topk_prog presets (the 32x32
+        # gate's 'topk', the mask preset's swapped serving config) have
+        # nothing to merge and are left alone.
+        for spec in presets.values():
+            if spec["pcfg"].mode == "topk_prog":
+                spec["pcfg"] = spec["pcfg"].replace(merge_dropped=True)
 
     results = {"dense_top1": round(dense_acc, 4),
                "dense_top1_int8": round(dense_acc_i8, 4),
@@ -756,6 +796,18 @@ def main(argv=None):
                 structured=False)
         if name == "headline":
             headline_params = trained
+        if spec["pcfg"].merge_dropped:
+            # merge ablation: the SAME trained weights served without merge
+            # compaction — the accuracy gain is what justifies merge's
+            # +2-10% serving cost (RESULTS.md §merge_dropped)
+            acc_nomerge, _, _ = evaluate(
+                trained, test_b, config,
+                spec["pcfg"].replace(merge_dropped=False),
+                full_testing=False)
+            pred_extra["pruned_top1_nomerge"] = round(acc_nomerge, 4)
+            pred_extra["merge_gain"] = round(acc - acc_nomerge, 4)
+            log(f"{name}: merge ablation — merged {acc:.4f} vs unmerged "
+                f"{acc_nomerge:.4f} (gain {acc - acc_nomerge:+.4f})")
         drop = dense_acc - acc
         budget = args.composed_max_drop if spec["structured"] else args.max_drop
         if spec["structured"]:

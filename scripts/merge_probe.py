@@ -26,7 +26,7 @@ def main():
         pass
 
     from vit_pruning_tpu.configs import (
-        PruneConfig, composed_schedule, deit_small)
+        PruneConfig, composed_schedule, deit_small, ultra_schedule)
     from vit_pruning_tpu.models.pruned_vit import (
         init_pruned_vit_params, progressive_topk_forward)
     from vit_pruning_tpu.ops.structured import prune_heads, prune_mlp_channels
@@ -68,6 +68,15 @@ def main():
                          loss="mse_attention", top_k=csched[0],
                          keep_schedule=csched, merge_dropped=merge)
         run(f"composed merge={merge}", c_config, pc, cp)
+
+    # ultra preset (same structural pruning, ~halved live token counts —
+    # the schedule merge_dropped is meant to make accuracy-viable)
+    usched = ultra_schedule(n, config.num_layers)
+    for merge in (False, True):
+        pc = PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                         loss="mse_attention", top_k=usched[0],
+                         keep_schedule=usched, merge_dropped=merge)
+        run(f"ultra merge={merge}", c_config, pc, cp)
 
 
 if __name__ == "__main__":

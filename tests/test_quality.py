@@ -234,3 +234,50 @@ def test_per_predictor_adam_skips_shared_subtrees():
     np.testing.assert_allclose(np.asarray(upd["predictor"]["shared_net"]["b"]),
                                np.asarray(upd0["predictor"]["shared_net"]["b"]),
                                rtol=1e-6)
+
+
+def test_quality_merge_dropped_flag_flips_topk_prog_presets(monkeypatch, capsys):
+    """--merge_dropped serves topk_prog presets with merge compaction: the
+    composed preset trains/measures under merge_dropped=True, while the
+    32x32 gate's headline ('topk' mode) and the mask preset's swapped
+    serving config are left merge-free (nothing to merge)."""
+    import quality
+
+    calls = {"pcfgs": []}
+
+    def fake_train_and_eval(config, pcfg, train_b, test_b, args, log,
+                            base_params=None, structured=False, teacher=None):
+        params = init_pruned_vit_params(jax.random.PRNGKey(42), config, pcfg)
+        calls["pcfgs"].append(pcfg)
+        acc_structural = 0.88 if structured else None
+        skip = 0.64 if structured else 0.5
+        return (0.9, 0.9, 0.9, skip, acc_structural, params, {})
+
+    def fake_measure_preset(params, eval_cfg, pcfg, train_b, test_b, args,
+                            log, structured):
+        calls["pcfgs"].append(pcfg)
+        return (0.9, 0.9, 0.9, 0.5, None, params, {})
+
+    monkeypatch.setattr(quality, "train_and_eval", fake_train_and_eval)
+    monkeypatch.setattr(quality, "measure_preset", fake_measure_preset)
+
+    from vit_pruning_tpu.ops.dispatch import set_kernel_mode
+
+    try:
+        rc = quality.main([
+            "--preset", "all", "--merge_dropped", "--train_size", "64",
+            "--test_size", "32", "--batch", "16",
+        ])
+    finally:
+        set_kernel_mode("auto")
+    assert rc == 0
+    results = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    by_mode = {}
+    for pc in calls["pcfgs"]:
+        by_mode.setdefault(pc.mode, pc)
+    assert by_mode["topk_prog"].merge_dropped is True       # composed
+    assert by_mode["topk"].merge_dropped is False           # gate headline
+    assert by_mode["mask"].merge_dropped is False           # mask serving
+    assert results["presets"]["composed"]["serving_config"]["merge_dropped"] is True
+    assert results["presets"]["headline"]["serving_config"]["merge_dropped"] is False

@@ -120,3 +120,21 @@ def test_vit_large_config_geometry():
     assert len(s) == 24 and s == (130,) + (65,) * 4 + (32,) * 19
     live = schedule_live(s, c.num_patches)
     assert all(a >= b for a, b in zip(live, live[1:]))
+
+
+def test_ultra_schedule_geometry():
+    """ultra_schedule roughly halves composed's live counts at every depth,
+    never emits zero keeps, and stays monotone."""
+    from vit_pruning_tpu.configs import (
+        composed_schedule, schedule_live, ultra_schedule)
+
+    s = ultra_schedule(196, 12)
+    assert s == (98,) + (32,) * 4 + (16,) * 7
+    live = schedule_live(s, 196)
+    comp = schedule_live(composed_schedule(196, 12), 196)
+    assert all(a >= b for a, b in zip(live, live[1:]))
+    assert all(u <= c for u, c in zip(live, comp))
+    # tiny geometries degrade to >=1 keeps, not zero (which would mean
+    # "no drop" to the scheduler and silently change semantics)
+    s3 = ultra_schedule(10, 8)
+    assert len(s3) == 8 and all(v >= 1 for v in s3)

@@ -252,8 +252,11 @@ class PruneConfig:
     # vanishing — information-preserving compaction at identical layer cost
     # (the merge itself is three batched matmuls per drop layer). Token
     # "sizes" accumulate across drops so later merges weight correctly.
-    # Serving-path (progressive) only; the per-layer re-decide training
-    # path ignores it. CLS never merges in either direction.
+    # Read ONLY by the progressive serving paths (progressive_topk_forward,
+    # pruned_pipeline_forward); every other mode ignores it — the re-decide
+    # modes never physically drop tokens, so internal mode swaps
+    # (.replace(mode='oracle'/'mask')) are safe no-ops rather than errors.
+    # CLS never merges in either direction.
     merge_dropped: bool = False
     # focal loss parameters (main_model_utils.py:15-38)
     focal_alpha: float = 0.25
@@ -273,12 +276,6 @@ class PruneConfig:
             raise ValueError(f"skip_correction {self.skip_correction!r}")
         if self.oracle_stream not in ("local", "parallel"):
             raise ValueError(f"oracle_stream {self.oracle_stream!r}")
-        if self.merge_dropped and self.mode != "topk_prog":
-            raise ValueError(
-                "merge_dropped applies to the progressive serving path only "
-                "(mode='topk_prog'); the per-layer re-decide modes never "
-                "physically drop tokens, so there is nothing to merge"
-            )
         if self.mode == "topk_prog" and self.predictor in (
             "compressor", "shared_compressor", "cnn"
         ):
@@ -320,6 +317,18 @@ def composed_schedule(num_patches: int, num_layers: int) -> Tuple[int, ...]:
     n, L = num_patches, num_layers
     return tuple([n * 2 // 3] + [n // 3] * min(4, L - 1)
                  + [n // 6] * max(0, L - 5))
+
+
+def ultra_schedule(num_patches: int, num_layers: int) -> Tuple[int, ...]:
+    """A deeper keep schedule than composed_schedule, intended to be served
+    with merge_dropped=True (RESULTS.md §merge_dropped): keep 1/2 of patches
+    at layer 0, 1/6 for the next up-to-4 layers, 1/12 thereafter. Roughly
+    halves composed's live token counts at every depth; the merge step
+    preserves the dropped tokens' information, which is what makes the
+    deeper budget accuracy-viable."""
+    n, L = num_patches, num_layers
+    return tuple([max(1, n // 2)] + [max(1, n // 6)] * min(4, L - 1)
+                 + [max(1, n // 12)] * max(0, L - 5))
 
 
 def schedule_live(schedule: Tuple[int, ...], num_patches: int) -> Tuple[int, ...]:
