@@ -85,6 +85,12 @@ def main():
                          "channels) with the aggressive token schedule — the "
                          "3x+ configuration (accuracy trade unvalidated "
                          "without real data)")
+    ap.add_argument("--ultra", action="store_true",
+                    help="the ultra preset at any --model: composed "
+                         "structural pruning + the deeper ultra_schedule, "
+                         "served with merge compaction (merge_dropped=True; "
+                         "accuracy ablation via quality.py --preset ultra "
+                         "--merge_dropped)")
     ap.add_argument("--mask_budget", type=int, default=None,
                     help="mode=mask per-image density cap (PruneConfig."
                          "mask_budget): keep at most this many highest-"
@@ -222,11 +228,15 @@ def main():
 
     n = config.num_patches
     k = max(1, int(round(n * (1.0 - args.skip))))
+    if args.ultra:
+        # ultra = composed structural pruning + the deeper schedule + merge
+        args.composed = True
     if args.composed and not args.schedule:
-        from vit_pruning_tpu.configs import composed_schedule
+        from vit_pruning_tpu.configs import composed_schedule, ultra_schedule
 
+        sched_fn = ultra_schedule if args.ultra else composed_schedule
         args.schedule = ",".join(
-            str(v) for v in composed_schedule(n, config.num_layers))
+            str(v) for v in sched_fn(n, config.num_layers))
     schedule = None
     if args.schedule:
         from vit_pruning_tpu.configs import schedule_live
@@ -246,7 +256,8 @@ def main():
     pcfg = PruneConfig(mode=args.mode, predictor="cls_mlp",
                        loss="mse_attention",
                        top_k=k, keep_schedule=schedule,
-                       mask_budget=args.mask_budget)
+                       mask_budget=args.mask_budget,
+                       merge_dropped=args.ultra)
 
     log(f"model={args.model} batch={args.batch} dtype={args.dtype} "
         f"keep k={k}/{n} devices={jax.devices()}")

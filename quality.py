@@ -473,6 +473,20 @@ def measure_preset(params, eval_cfg, pcfg, train_b, test_b, args, log,
                 pcfg.replace(mode="mask", mlp_threshold=mt),
                 full_testing=True,
             )
+    if pcfg.merge_dropped:
+        # merge ablation: the SAME trained weights served without merge
+        # compaction (identical selection; only the kept tokens' values
+        # change) — the accuracy gain is what justifies merge's +2-10%
+        # serving cost (RESULTS.md §merge_dropped). Runs here, not in
+        # main(), because structured presets physically prune heads and
+        # only this scope has the pruned eval_cfg.
+        acc_nomerge, _, _ = evaluate(
+            params, test_b, eval_cfg, pcfg.replace(merge_dropped=False),
+            full_testing=False)
+        pred_extra["pruned_top1_nomerge"] = round(acc_nomerge, 4)
+        pred_extra["merge_gain"] = round(acc - acc_nomerge, 4)
+        log(f"merge ablation — merged {acc:.4f} vs unmerged "
+            f"{acc_nomerge:.4f} (gain {acc - acc_nomerge:+.4f})")
     acc_structural = None
     if structured:
         # capacity control: the SAME recovered weights evaluated without
@@ -796,18 +810,6 @@ def main(argv=None):
                 structured=False)
         if name == "headline":
             headline_params = trained
-        if spec["pcfg"].merge_dropped:
-            # merge ablation: the SAME trained weights served without merge
-            # compaction — the accuracy gain is what justifies merge's
-            # +2-10% serving cost (RESULTS.md §merge_dropped)
-            acc_nomerge, _, _ = evaluate(
-                trained, test_b, config,
-                spec["pcfg"].replace(merge_dropped=False),
-                full_testing=False)
-            pred_extra["pruned_top1_nomerge"] = round(acc_nomerge, 4)
-            pred_extra["merge_gain"] = round(acc - acc_nomerge, 4)
-            log(f"{name}: merge ablation — merged {acc:.4f} vs unmerged "
-                f"{acc_nomerge:.4f} (gain {acc - acc_nomerge:+.4f})")
         drop = dense_acc - acc
         budget = args.composed_max_drop if spec["structured"] else args.max_drop
         if spec["structured"]:

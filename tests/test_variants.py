@@ -421,3 +421,47 @@ def test_mask_budget_noop_below_budget():
         np.asarray(out_uncapped["logits"]), np.asarray(out_capped["logits"]),
         atol=1e-5,
     )
+
+
+def test_pruned_config_records_head_dim_and_guards_mismatch():
+    """prune_heads keeps the original per-head width: the returned config
+    must say so (attn_head_dim), and forwarding pruned params under the
+    ORIGINAL config must raise instead of silently splitting heads at the
+    wrong width (hidden // num_heads)."""
+    from vit_pruning_tpu.models.pruned_vit import progressive_topk_forward
+
+    params = init_vit_params(jax.random.PRNGKey(0), CFG)
+    keep = [[0, 2]] * CFG.num_layers
+    new_params, new_cfg = prune_heads(params, CFG, keep)
+    assert new_cfg.head_dim == CFG.hidden_size // CFG.num_heads
+    assert new_cfg.attn_width == 2 * CFG.hidden_size // CFG.num_heads
+
+    with pytest.raises(ValueError, match="projection width"):
+        vit_forward(new_params, _x(), CFG, use_pallas=False)
+
+    pc = PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                     loss="mse_attention", top_k=8,
+                     keep_schedule=(8,) + (0,) * (CFG.num_layers - 1))
+    full = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pc)
+    full["backbone"] = new_params
+    with pytest.raises(ValueError, match="projection width"):
+        progressive_topk_forward(full, _x(), CFG, pc, logits_only=True)
+    out = progressive_topk_forward(full, _x(), new_cfg, pc, logits_only=True)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+@pytest.mark.parametrize("kind", ["key_mlp", "key_cosine"])
+def test_key_predictors_under_head_pruning(kind):
+    """Key-based predictors reshape by config.num_heads x config.head_dim —
+    with attn_head_dim recorded by prune_heads this works on a head-pruned
+    backbone (it crashed before: 64 // 2 = 32 != the kept heads' 16)."""
+    pcfg = PruneConfig(mode="mask", predictor=kind, mlp_threshold=0.4)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    bb, new_cfg = prune_heads(params["backbone"], CFG, [[0, 2]] * CFG.num_layers)
+    pruned = dict(params, backbone=bb)
+    if kind == "key_mlp":
+        # re-init the key MLP at the pruned key width
+        pruned = {**init_pruned_vit_params(jax.random.PRNGKey(1), new_cfg, pcfg),
+                  "backbone": bb}
+    out = pruned_vit_forward(pruned, _x(), new_cfg, pcfg)
+    assert np.isfinite(np.asarray(out["logits"])).all()

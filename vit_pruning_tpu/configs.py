@@ -36,6 +36,14 @@ class ViTConfig:
     qkv_bias: bool = True
     # dtype for activations on TPU; params are kept in float32 master copy
     dtype: str = "float32"
+    # per-head dimension when it is NOT hidden_size // num_heads — set by
+    # ops/structured.py::prune_heads (head pruning keeps the original
+    # per-head width, so q/k/v project hidden -> num_heads * attn_head_dim
+    # < hidden). None = the standard derivation. Keeping this explicit lets
+    # key-based predictors reshape correctly and lets the forward path
+    # reject a params/config geometry mismatch instead of silently
+    # splitting heads at the wrong width.
+    attn_head_dim: Optional[int] = None
 
     @property
     def grid_size(self) -> int:
@@ -51,7 +59,15 @@ class ViTConfig:
 
     @property
     def head_dim(self) -> int:
+        if self.attn_head_dim is not None:
+            return self.attn_head_dim
         return self.hidden_size // self.num_heads
+
+    @property
+    def attn_width(self) -> int:
+        """Total q/k/v projection width (== hidden_size unless heads were
+        physically pruned)."""
+        return self.num_heads * self.head_dim
 
     @property
     def patch_dim(self) -> int:

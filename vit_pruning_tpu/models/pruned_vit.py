@@ -750,6 +750,16 @@ def progressive_topk_forward(
         quant = serving_quant()
     backbone = params["backbone"]
     pred = params.get("predictor")
+    qw = backbone["layers"]["attn"]["q"]["w"].shape[-1]
+    if qw != config.attn_width:
+        # same trace-time geometry check as vit_layer — the fused-encoder
+        # segments bypass vit_layer, so head-pruned params under the wrong
+        # config would otherwise silently run with the wrong head split
+        raise ValueError(
+            f"attention projection width {qw} != config.num_heads "
+            f"({config.num_heads}) x config.head_dim ({config.head_dim}); "
+            f"use the ViTConfig returned by prune_heads for pruned params"
+        )
 
     # NOTE: a fused float-embed Pallas kernel was measured 4x SLOWER than
     # this XLA path (5.55 vs 1.40 ms/batch-512 DeiT-S, r3 ablation): XLA

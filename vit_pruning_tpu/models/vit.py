@@ -84,6 +84,17 @@ def vit_layer(
     """
     from vit_pruning_tpu.ops.dispatch import attention_kernel_enabled, serving_quant
 
+    qw = params["attn"]["q"]["w"].shape[-1]
+    if qw != config.attn_width:
+        # trace-time geometry check: head-pruned params under the original
+        # config (or vice versa) would otherwise silently split heads at
+        # the wrong width and run with wrong numerics. prune_heads returns
+        # the matching config (num_heads=kept, attn_head_dim preserved).
+        raise ValueError(
+            f"attention projection width {qw} != config.num_heads "
+            f"({config.num_heads}) x config.head_dim ({config.head_dim}); "
+            f"use the ViTConfig returned by prune_heads for pruned params"
+        )
     if quant is None:
         quant = serving_quant()
     quant = quant == "int8" and head_mask is None and not return_probs

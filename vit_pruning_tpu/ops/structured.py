@@ -93,9 +93,11 @@ def prune_heads(
     new_params["layers"] = dict(layers)
     new_params["layers"]["attn"] = new_attn
     # hidden stays D; q/k/v now project D -> kept*hd. mha and the fused
-    # megakernel both derive head_dim from the actual projection width, so
-    # only num_heads changes in the config.
-    return new_params, config.replace(num_heads=kept)
+    # megakernel derive head_dim from the actual projection width;
+    # attn_head_dim records it explicitly so config.head_dim stays truthful
+    # (key-based predictors reshape by it, and the forward path can reject
+    # a params/config geometry mismatch).
+    return new_params, config.replace(num_heads=kept, attn_head_dim=hd)
 
 
 def prune_mlp_channels(
