@@ -87,10 +87,16 @@ def main():
                          "without real data)")
     ap.add_argument("--ultra", action="store_true",
                     help="the ultra preset at any --model: composed "
-                         "structural pruning + the deeper ultra_schedule, "
-                         "served with merge compaction (merge_dropped=True; "
-                         "accuracy ablation via quality.py --preset ultra "
-                         "--merge_dropped)")
+                         "structural pruning + the deeper ultra_schedule "
+                         "(gate-passing without merge — zero token delta at "
+                         "gate scale, quality.py --preset ultra)")
+    ap.add_argument("--merge_dropped", action="store_true",
+                    help="serve topk_prog with ToMe-flavored merge "
+                         "compaction (PruneConfig.merge_dropped). Measured "
+                         "NEGATIVE on the synthetic gate task (background "
+                         "patches are noise by construction; quality.py "
+                         "--preset ultra --merge_dropped ablation) — an "
+                         "option for real-data deployments, gate it there")
     ap.add_argument("--mask_budget", type=int, default=None,
                     help="mode=mask per-image density cap (PruneConfig."
                          "mask_budget): keep at most this many highest-"
@@ -257,7 +263,7 @@ def main():
                        loss="mse_attention",
                        top_k=k, keep_schedule=schedule,
                        mask_budget=args.mask_budget,
-                       merge_dropped=args.ultra)
+                       merge_dropped=args.merge_dropped)
 
     log(f"model={args.model} batch={args.batch} dtype={args.dtype} "
         f"keep k={k}/{n} devices={jax.devices()}")
@@ -412,29 +418,35 @@ def main():
         result["composed_img_per_sec"] = round(args.batch / t_comp, 1)
         result["composed_vs_dense"] = round(t_dense / t_comp, 3)
 
-        # ultra preset: same structural pruning, ~halved live token counts,
-        # served with merge compaction (PruneConfig.merge_dropped) so the
-        # dropped tokens' information survives the deeper budget — accuracy
-        # story in quality_results.json (quality.py --merge_dropped)
+        # ultra preset: same structural pruning, ~halved live token counts
+        # (quality.py --preset ultra: zero token delta at gate scale). The
+        # merge-compaction variant is also recorded — its gate-scale
+        # accuracy ablation is NEGATIVE (quality_results.json
+        # ultra_merge_gate: the synthetic task's background patches are
+        # noise by construction), so it ships as a measured option, not the
+        # default serving config.
         from vit_pruning_tpu.configs import ultra_schedule
 
         usched = ultra_schedule(n, config.num_layers)
-        upcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
-                            loss="mse_attention", top_k=usched[0],
-                            keep_schedule=usched, merge_dropped=True)
-        ultra = amortized(
-            lambda p, v: progressive_topk_forward(
-                p, v, c_config, upcfg, logits_only=True)["logits"],
-            args.inner,
-        )
-        t_ultra = timeit(ultra, (cparams, x), args.iters) / args.inner
         ulive = [v - 1 for v in schedule_live(usched, n)]
-        log(f"ultra+merge: {args.batch / t_ultra:.1f} img/s/chip "
-            f"({t_ultra * 1e3:.2f} ms/batch) = {t_dense / t_ultra:.2f}x dense "
-            f"(3/6 heads, 1/2 mlp, {1.0 - sum(ulive) / len(ulive) / n:.0%} token "
-            f"skip, merge compaction)")
-        result["ultra_merge_img_per_sec"] = round(args.batch / t_ultra, 1)
-        result["ultra_merge_vs_dense"] = round(t_dense / t_ultra, 3)
+        uskip = 1.0 - sum(ulive) / len(ulive) / n
+        for merge, key, tag in ((False, "ultra", "ultra"),
+                                (True, "ultra_merge", "ultra+merge")):
+            upcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                                loss="mse_attention", top_k=usched[0],
+                                keep_schedule=usched, merge_dropped=merge)
+            ultra = amortized(
+                lambda p, v, _c=upcfg: progressive_topk_forward(
+                    p, v, c_config, _c, logits_only=True)["logits"],
+                args.inner,
+            )
+            t_ultra = timeit(ultra, (cparams, x), args.iters) / args.inner
+            log(f"{tag}: {args.batch / t_ultra:.1f} img/s/chip "
+                f"({t_ultra * 1e3:.2f} ms/batch) = {t_dense / t_ultra:.2f}x "
+                f"dense (3/6 heads, 1/2 mlp, {uskip:.0%} token skip"
+                f"{', merge compaction' if merge else ''})")
+            result[f"{key}_img_per_sec"] = round(args.batch / t_ultra, 1)
+            result[f"{key}_vs_dense"] = round(t_dense / t_ultra, 3)
     print(json.dumps(result))
 
 

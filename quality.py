@@ -473,20 +473,30 @@ def measure_preset(params, eval_cfg, pcfg, train_b, test_b, args, log,
                 pcfg.replace(mode="mask", mlp_threshold=mt),
                 full_testing=True,
             )
-    if pcfg.merge_dropped:
-        # merge ablation: the SAME trained weights served without merge
-        # compaction (identical selection; only the kept tokens' values
-        # change) — the accuracy gain is what justifies merge's +2-10%
-        # serving cost (RESULTS.md §merge_dropped). Runs here, not in
+    if pcfg.mode == "topk_prog" and (
+        pcfg.merge_dropped or getattr(args, "merge_ablation", False)
+    ):
+        # merge ablation: the SAME trained weights served with the merge
+        # setting flipped (identical selection; only the kept tokens'
+        # values change) — merge_gain = merged - unmerged is what would
+        # justify merge's +2-14% serving cost (RESULTS.md §merge_dropped;
+        # at gate scale it measures NEGATIVE: the synthetic task's dropped
+        # background patches are noise by construction). Runs here, not in
         # main(), because structured presets physically prune heads and
         # only this scope has the pruned eval_cfg.
-        acc_nomerge, _, _ = evaluate(
-            params, test_b, eval_cfg, pcfg.replace(merge_dropped=False),
+        acc_var, _, _ = evaluate(
+            params, test_b, eval_cfg,
+            pcfg.replace(merge_dropped=not pcfg.merge_dropped),
             full_testing=False)
-        pred_extra["pruned_top1_nomerge"] = round(acc_nomerge, 4)
-        pred_extra["merge_gain"] = round(acc - acc_nomerge, 4)
-        log(f"merge ablation — merged {acc:.4f} vs unmerged "
-            f"{acc_nomerge:.4f} (gain {acc - acc_nomerge:+.4f})")
+        merged_acc, unmerged_acc = (
+            (acc, acc_var) if pcfg.merge_dropped else (acc_var, acc))
+        if pcfg.merge_dropped:
+            pred_extra["pruned_top1_nomerge"] = round(unmerged_acc, 4)
+        else:
+            pred_extra["pruned_top1_merged"] = round(merged_acc, 4)
+        pred_extra["merge_gain"] = round(merged_acc - unmerged_acc, 4)
+        log(f"merge ablation — merged {merged_acc:.4f} vs unmerged "
+            f"{unmerged_acc:.4f} (gain {merged_acc - unmerged_acc:+.4f})")
     acc_structural = None
     if structured:
         # capacity control: the SAME recovered weights evaluated without
@@ -510,7 +520,9 @@ def main(argv=None):
                     default="headline",
                     help="'both' = headline+composed (round-2 surface); "
                     "'all' adds the mask serving preset; 'ultra' = the "
-                    "deeper ultra_schedule (intended with --merge_dropped)")
+                    "deeper ultra_schedule (passes the gate unmerged; add "
+                    "--merge_dropped to measure the merge-compaction "
+                    "variant and its ablation)")
     ap.add_argument("--skip", type=float, default=0.5)
     ap.add_argument("--max_drop", type=float, default=0.005)
     ap.add_argument("--min_predictor_acc", type=float, default=0.85)
@@ -582,7 +594,18 @@ def main(argv=None):
                     "vanishing): training is unchanged (the re-decide train "
                     "path never physically drops), the trained weights are "
                     "re-measured with merge on, and the usual accuracy gates "
-                    "apply to the merged serving config")
+                    "apply to the merged serving config; a merged-vs-"
+                    "unmerged ablation (pruned_top1_nomerge / merge_gain) "
+                    "is recorded. NOTE: at gate scale the ablation measures "
+                    "NEGATIVE (the synthetic task's dropped background "
+                    "patches are noise by construction) — gate merge on "
+                    "your real data before serving with it")
+    ap.add_argument("--merge_ablation", action="store_true",
+                    help="without --merge_dropped: gate the UNMERGED "
+                    "serving config (the default) but also measure the "
+                    "merged variant from the same trained weights "
+                    "(pruned_top1_merged / merge_gain fields) — one "
+                    "training, both numbers")
     ap.add_argument("--merge_into", default=None,
                     help="merge results into this JSON file under --section "
                     "(e.g. quality_results.json)")
@@ -718,8 +741,9 @@ def main(argv=None):
         from vit_pruning_tpu.configs import schedule_live, ultra_schedule
 
         # the ultra preset = composed recipe, ~halved live token counts
-        # (bench.py's ultra row); designed to be served with
-        # --merge_dropped so the deeper budget keeps its information
+        # (bench.py's ultra row); gates unmerged by default — add
+        # --merge_dropped to gate the merged variant (measured negative at
+        # gate scale) or --merge_ablation to record it un-gated
         schedule = ultra_schedule(n, config.num_layers)
         live = schedule_live(schedule, n)
         presets["ultra"] = dict(

@@ -336,12 +336,12 @@ def composed_schedule(num_patches: int, num_layers: int) -> Tuple[int, ...]:
 
 
 def ultra_schedule(num_patches: int, num_layers: int) -> Tuple[int, ...]:
-    """A deeper keep schedule than composed_schedule, intended to be served
-    with merge_dropped=True (RESULTS.md §merge_dropped): keep 1/2 of patches
-    at layer 0, 1/6 for the next up-to-4 layers, 1/12 thereafter. Roughly
-    halves composed's live token counts at every depth; the merge step
-    preserves the dropped tokens' information, which is what makes the
-    deeper budget accuracy-viable."""
+    """A deeper keep schedule than composed_schedule: keep 1/2 of patches at
+    layer 0, 1/6 for the next up-to-4 layers, 1/12 thereafter — roughly
+    halves composed's live token counts at every depth. Passes the accuracy
+    gate UNMERGED (zero token delta at gate scale, quality.py --preset
+    ultra); pairing it with merge_dropped=True is optional and measured
+    NEGATIVE on the synthetic gate task (RESULTS.md §merge_dropped)."""
     n, L = num_patches, num_layers
     return tuple([max(1, n // 2)] + [max(1, n // 6)] * min(4, L - 1)
                  + [max(1, n // 12)] * max(0, L - 5))
