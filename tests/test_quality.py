@@ -281,3 +281,40 @@ def test_quality_merge_dropped_flag_flips_topk_prog_presets(monkeypatch, capsys)
     assert by_mode["mask"].merge_dropped is False           # mask serving
     assert results["presets"]["composed"]["serving_config"]["merge_dropped"] is True
     assert results["presets"]["headline"]["serving_config"]["merge_dropped"] is False
+
+
+def test_measure_preset_merge_ablation_records_both_variants():
+    """measure_preset's merge ablation: --merge_dropped gates the merged
+    config and records pruned_top1_nomerge; --merge_ablation gates the
+    unmerged config and records pruned_top1_merged. merge_gain is
+    merged - unmerged in both orientations, from ONE set of weights."""
+    from types import SimpleNamespace
+
+    import quality
+
+    pcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                       loss="mse_attention", top_k=8,
+                       keep_schedule=(8, 4, 0, 0))
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 3, 16, 16))
+    y = jax.random.randint(jax.random.PRNGKey(2), (16,), 0, CFG.num_labels)
+    test_b = [{"pixel_values": x, "labels": y}]
+
+    logs = []
+    out = {}
+    for flag in ("merge_dropped", "merge_ablation"):
+        args = SimpleNamespace(merge_ablation=(flag == "merge_ablation"))
+        pc = pcfg.replace(merge_dropped=(flag == "merge_dropped"))
+        acc, acc_i8, mlp_acc, skip, acc_s, _, extra = quality.measure_preset(
+            params, CFG, pc, test_b, test_b, args, logs.append,
+            structured=False)
+        out[flag] = (acc, extra)
+
+    acc_m, extra_m = out["merge_dropped"]
+    acc_u, extra_u = out["merge_ablation"]
+    # gated accuracy is the variant pcfg selects; the other is recorded
+    assert extra_m["pruned_top1_nomerge"] == pytest.approx(acc_u, abs=1e-4)
+    assert extra_u["pruned_top1_merged"] == pytest.approx(acc_m, abs=1e-4)
+    # merge_gain orientation is identical in both runs
+    assert extra_m["merge_gain"] == pytest.approx(extra_u["merge_gain"], abs=1e-4)
+    assert extra_m["merge_gain"] == pytest.approx(acc_m - acc_u, abs=1e-4)
