@@ -152,7 +152,8 @@ def main():
               "deit_base": deit_base, "vit_large": vit_large}
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
-    def measure(model_name: str, skip: float, mode: str, composed: bool = False) -> dict:
+    def measure(model_name: str, skip: float, mode: str,
+                composed: bool = False, preset: str = "composed") -> dict:
         config = models[model_name](num_labels=100)
         n = config.num_patches
         params0 = init_pruned_vit_params(
@@ -161,10 +162,12 @@ def main():
         )
         xb = jax.random.normal(jax.random.PRNGKey(1), (args.batch, 3, 224, 224), dtype)
         if composed:
-            from vit_pruning_tpu.configs import composed_schedule, schedule_live
+            from vit_pruning_tpu.configs import (
+                composed_schedule, schedule_live, ultra_schedule)
             from vit_pruning_tpu.ops.structured import prune_heads, prune_mlp_channels
 
-            csched = composed_schedule(n, config.num_layers)
+            csched = (ultra_schedule if preset == "ultra"
+                      else composed_schedule)(n, config.num_layers)
             cpcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
                                 loss="mse_attention", top_k=csched[0],
                                 keep_schedule=csched)
@@ -181,7 +184,7 @@ def main():
             t = timeit(fn, (params0, xb), args.iters) / args.inner
             live = [v - 1 for v in schedule_live(csched, n)]
             return {"model": model_name, "skip": round(1.0 - sum(live) / len(live) / n, 4),
-                    "mode": "composed",
+                    "mode": preset,
                     "img_per_sec_chip": round(args.batch / t, 1),
                     "ms_per_batch": round(t * 1e3, 2)}
         params0 = jax.tree.map(lambda a: a.astype(dtype), params0)
@@ -215,9 +218,10 @@ def main():
             rows.append(row)
             log(row)
         for mname in ("deit_tiny", "deit_small", "deit_base"):
-            row = measure(mname, 0.0, args.mode, composed=True)
-            rows.append(row)
-            log(row)
+            for preset in ("composed", "ultra"):
+                row = measure(mname, 0.0, args.mode, composed=True, preset=preset)
+                rows.append(row)
+                log(row)
         with open("bench_full.json", "w") as fh:
             json.dump(rows, fh, indent=1)
         dense = next(r for r in rows if r["model"] == "deit_small" and r["skip"] == 0.0)
@@ -295,7 +299,11 @@ def main():
                 return f(p, v)
         return g
 
-    dense = amortized(lambda p, v: vit_forward(dense_params, v, config)["logits"], args.inner)
+    # NOTE: the dense weights are passed as jit ARGUMENTS, never closed
+    # over — a closed-over device tree lowers as embedded HLO constants and
+    # the relay's compile request then carries the full weight bytes
+    # (vit_large: ~600 MB -> HTTP 413 "length limit exceeded")
+    dense = amortized(lambda p, v: vit_forward(p, v, config)["logits"], args.inner)
     if args.serving:
         from vit_pruning_tpu.serving import serving_forward
 
@@ -303,9 +311,12 @@ def main():
                                 jnp.int32).astype(jnp.uint8)
 
         @jax.jit
-        def _serving_loop(p, _v):
+        def _serving_loop(p, u8v):
+            # u8v is a traced ARGUMENT (not a closure: a closed-over device
+            # array would be embedded in the compile request, same 413
+            # hazard as the weights)
             def body(i, acc):
-                xs = (u8 + i.astype(jnp.uint8)).astype(jnp.uint8)
+                xs = (u8v + i.astype(jnp.uint8)).astype(jnp.uint8)
                 return acc + serving_forward(p, xs, pruned_config, pcfg)["logits"].astype(jnp.float32).sum()
 
             return jax.lax.fori_loop(0, args.inner, body, jnp.zeros((), jnp.float32))
@@ -358,8 +369,9 @@ def main():
             f"=> actual skip {measured_skip:.1%} (threshold {pcfg.mlp_threshold} "
             f"on an untrained predictor)")
 
-    t_dense = timeit(dense, (params, x), args.iters) / args.inner
-    t_pruned = timeit(pruned, (params, x), args.iters) / args.inner
+    t_dense = timeit(dense, (dense_params, x), args.iters) / args.inner
+    t_pruned = timeit(pruned, (params, u8 if args.serving else x),
+                      args.iters) / args.inner
 
     dense_ips = args.batch / t_dense
     pruned_ips = args.batch / t_pruned
@@ -377,10 +389,10 @@ def main():
     if args.quant != "none":
         # same-quantization dense control, so both comparisons are on record
         dense_q = amortized(
-            quantized(lambda p, v: vit_forward(dense_params, v, config)["logits"]),
+            quantized(lambda p, v: vit_forward(p, v, config)["logits"]),
             args.inner,
         )
-        t_dq = timeit(dense_q, (params, x), args.iters) / args.inner
+        t_dq = timeit(dense_q, (dense_params, x), args.iters) / args.inner
         log(f"dense {args.quant}: {args.batch / t_dq:.1f} img/s/chip "
             f"({t_dq * 1e3:.2f} ms/batch); pruned-vs-dense-{args.quant} "
             f"{t_dq / t_pruned:.2f}x")

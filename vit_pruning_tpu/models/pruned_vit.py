@@ -798,16 +798,32 @@ def progressive_topk_forward(
         """Layers [l0, l1) at fixed sequence length."""
         if l1 == l0:
             return x
+        seg = jax.tree.map(lambda a: a[l0:l1], backbone["layers"])
         if fuse_segments:
             from vit_pruning_tpu.ops.pallas.model import differentiable_fused_encoder
 
-            seg = jax.tree.map(lambda a: a[l0:l1], backbone["layers"])
             return differentiable_fused_encoder(
                 config.num_heads, config.layernorm_eps
             )(x, seg, None)
-        for j in range(l0, l1):
-            x = vit_layer(x, _layer_slice(backbone["layers"], j), config,
-                          use_pallas=use_pallas, quant=quant)
+        if l1 - l0 <= 8:
+            # short segments unroll: measured 2-4% faster than scan on the
+            # flagship DeiT-S presets (composed 8.52 vs 8.68 ms/batch) —
+            # XLA overlaps the next layer's weight fetch across the
+            # unrolled boundary, which a scan's dynamic-slice defeats
+            for j in range(l0, l1):
+                x = vit_layer(x, _layer_slice(backbone["layers"], j), config,
+                              use_pallas=use_pallas, quant=quant)
+            return x
+        # long segments scan: ONE traced layer body (one Pallas payload)
+        # per segment sequence length instead of one per layer — same
+        # kernels at runtime, but the remote-compile request shrinks
+        # ~seg-fold. vit_large's 24-layer composed program exceeded the
+        # relay's request-size limit (HTTP 413) when fully unrolled.
+        def body(carry, lp):
+            return vit_layer(carry, lp, config,
+                             use_pallas=use_pallas, quant=quant), None
+
+        x, _ = jax.lax.scan(body, x, seg)
         return x
 
     seg_start = 0
