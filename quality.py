@@ -105,11 +105,12 @@ def _cached_synthetic(n, image_size, num_labels, *, seed, label_noise,
 def build_task(args):
     if args.gate_model != "gate":
         # bench scale (VERDICT r2 #1): the EXACT geometry bench.py measures —
-        # DeiT-S/B @224 — so the accuracy gates and the composed throughput
-        # claims attach to the same model
-        from vit_pruning_tpu.configs import deit_base, deit_small
+        # DeiT-S/B and ViT-L @224 — so the accuracy gates and the composed
+        # throughput claims attach to the same model
+        from vit_pruning_tpu.configs import deit_base, deit_small, vit_large
 
-        factory = {"deit_small": deit_small, "deit_base": deit_base}
+        factory = {"deit_small": deit_small, "deit_base": deit_base,
+                   "vit_large": vit_large}
         config = factory[args.gate_model](num_labels=128).replace(
             image_size=args.image_size or 224
         )
@@ -546,10 +547,10 @@ def main(argv=None):
     ap.add_argument("--sim_threshold", type=float, default=0.9)
     ap.add_argument("--data_path", default=None, help="CIFAR-100 dir (else synthetic)")
     ap.add_argument("--gate_model",
-                    choices=["gate", "deit_small", "deit_base"],
+                    choices=["gate", "deit_small", "deit_base", "vit_large"],
                     default="gate",
                     help="'gate' = the fast 32x32 gate model; 'deit_small'/"
-                    "'deit_base' = the exact DeiT-S/B @224 geometry "
+                    "'deit_base'/'vit_large' = the exact @224 geometries "
                     "bench.py measures (VERDICT r2 #1)")
     ap.add_argument("--image_size", type=int, default=None,
                     help="input resolution (default: 32 for gate, 224 for "

@@ -466,3 +466,19 @@ def test_embed_u8_kernel_matches_xla_path():
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_auto_block_b_calibration():
+    """The default batch block shrinks exactly for f32 compute at DeiT-B
+    width and up (the deit_base @224 f32 eval step overflowed the scoped
+    VMEM stack at bt=8, round 3); every bf16/int8 config and f32 below
+    hidden 768 keeps the measured-best bt=8 byte-unchanged."""
+    from vit_pruning_tpu.ops.pallas.layer import _auto_block_b
+
+    assert _auto_block_b(128, 384, 4) == 8   # deit_small f32 (recorded gates)
+    assert _auto_block_b(128, 768, 4) == 4   # deit_base f32 (the OOM shape)
+    assert _auto_block_b(128, 1024, 4) == 2  # vit_large f32
+    for d in (384, 768, 1024):               # bf16 benches: unchanged
+        assert _auto_block_b(512, d, 2) == 8
+    assert _auto_block_b(6, 768, 4) == 3     # respects batch divisibility
+    assert _auto_block_b(2, 384, 2) == 2     # bt <= b

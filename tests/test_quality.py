@@ -150,7 +150,8 @@ def test_build_task_bench_scale_models():
     base = dict(image_size=64, data_path=None, train_size=32, test_size=32,
                 batch=16, label_noise=0.1)
     for name, dims in (("deit_small", (384, 12, 6, 1536)),
-                       ("deit_base", (768, 12, 12, 3072))):
+                       ("deit_base", (768, 12, 12, 3072)),
+                       ("vit_large", (1024, 24, 16, 4096))):
         args = argparse.Namespace(gate_model=name, **base)
         config, train_b, test_b = build_task(args)
         assert (config.hidden_size, config.num_layers, config.num_heads,

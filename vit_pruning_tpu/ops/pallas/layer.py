@@ -37,6 +37,27 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _auto_block_b(b: int, d: int, itemsize: int, start: int = 8) -> int:
+    """Default batch block, shrunk for f32 compute at DeiT-B width and up.
+
+    Calibrated table, not a model (compiler stack temporaries dominate the
+    scoped-VMEM footprint and their reuse is opaque): the fixed bt=8
+    default overflowed the ~102 MB scoped-VMEM stack by 284 KB at f32 x
+    hidden-768 x S_pad-200 (the deit_base @224 quality-gate eval step,
+    round 3), while every bf16 bench config through ViT-L fits at bt=8.
+    So: bf16/int8 keep bt=8 (byte-unchanged programs); f32 drops to 4 at
+    d>=768 and 2 at d>=1024 (halving bt halves everything except the
+    resident weights, which are 28 of the 102 MB at DeiT-B f32).
+    """
+    bt = start
+    if itemsize >= 4 and d >= 768:
+        bt = 4 if d < 1024 else 2
+    bt = min(bt, b)
+    while b % bt:
+        bt -= 1
+    return bt
+
+
 def _layer_norm_f32(x, g, b, eps):
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
@@ -305,7 +326,10 @@ def fused_vit_layer(
 
     x: [B, S, D]; params: the per-layer dict {'ln1','attn','ln2','mlp'};
     token_mask: [B, S] bool or None. block_b=8 measured best across sequence
-    lengths (larger blocks blow up the unrolled per-head attention loops).
+    lengths (larger blocks blow up the unrolled per-head attention loops);
+    the default shrinks it when the estimated VMEM footprint would overflow
+    the ~102 MB scoped limit (f32 at DeiT-B geometry and up — see
+    _auto_block_b).
     """
     b, s, d = x.shape
     # head_dim from the actual projection width: supports physically
@@ -313,13 +337,14 @@ def fused_vit_layer(
     kv_width = params["attn"]["q"]["w"].shape[1]
     hd = kv_width // num_heads
     scale = 1.0 / (hd ** 0.5)
-    if block_b == 0:
-        block_b = 8
-    bt = min(block_b, b)
-    while b % bt:
-        bt -= 1
-
     s_pad = _round_up(s, 8)
+    if block_b == 0:
+        bt = _auto_block_b(b, d, x.dtype.itemsize)
+    else:
+        bt = min(block_b, b)
+        while b % bt:
+            bt -= 1
+
     if s_pad != s:
         x = jnp.pad(x, [(0, 0), (0, s_pad - s), (0, 0)])
         if token_mask is not None:
@@ -509,13 +534,14 @@ def fused_vit_layer_cls_logits(
     hd = kv_width // num_heads
     scale = 1.0 / (hd ** 0.5)
     labels = head["w"].shape[1]
-    if block_b == 0:
-        block_b = 8
-    bt = min(block_b, b)
-    while b % bt:
-        bt -= 1
-
     s_pad = _round_up(s, 8)
+    if block_b == 0:
+        bt = _auto_block_b(b, d, x.dtype.itemsize)
+    else:
+        bt = min(block_b, b)
+        while b % bt:
+            bt -= 1
+
     if s_pad != s:
         x = jnp.pad(x, [(0, 0), (0, s_pad - s), (0, 0)])
 
@@ -702,14 +728,14 @@ def fused_vit_layer_bucketed(
     kv_width = params["attn"]["q"]["w"].shape[1]
     hd = kv_width // num_heads
     scale = 1.0 / (hd ** 0.5)
-    if block_b == 0:
-        block_b = 8
-    bt = min(block_b, b)
-    while b % bt:
-        bt -= 1
-
     s_pad = _round_up(s, 8)
     cap_pad = _round_up(cap, 8)
+    if block_b == 0:
+        bt = _auto_block_b(b, d, x.dtype.itemsize)
+    else:
+        bt = min(block_b, b)
+        while b % bt:
+            bt -= 1
     if s_pad != s:
         x = jnp.pad(x, [(0, 0), (0, s_pad - s), (0, 0)])
         # padded positions: dest out of range (never gathered), not kept
