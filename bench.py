@@ -239,7 +239,8 @@ def main():
     n = config.num_patches
     k = max(1, int(round(n * (1.0 - args.skip))))
     if args.ultra:
-        # ultra = composed structural pruning + the deeper schedule + merge
+        # ultra = composed structural pruning + the deeper schedule
+        # (merge compaction only via an explicit --merge_dropped)
         args.composed = True
     if args.composed and not args.schedule:
         from vit_pruning_tpu.configs import composed_schedule, ultra_schedule

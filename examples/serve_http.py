@@ -8,7 +8,7 @@ single dispatch loop that coalesces them into fixed-size device batches
 logits back out. Padding rides the batch dimension, so a lone request still
 gets the compiled batch's latency, and a burst gets its throughput.
 
-Run (CPU-friendly sizes; Pallas kernels interpret off-TPU):
+Run (CPU-friendly sizes; off-TPU the dispatch layer picks the XLA path):
 
     python examples/serve_http.py --port 8900 &
     curl -s -X POST --data-binary @image.rgb http://localhost:8900/classify
@@ -56,7 +56,11 @@ class Batcher:
         done = threading.Event()
         slot = {}
         self.q.put((pixels_u8, slot, done))
-        done.wait()
+        # bounded wait: if the dispatch loop died or close() drained the
+        # queue, the handler thread must not block forever
+        while not done.wait(timeout=1.0):
+            if self._stop.is_set() or not self.thread.is_alive():
+                raise RuntimeError("batcher is shut down")
         if "error" in slot:
             raise RuntimeError(slot["error"])
         return slot["logits"]
@@ -64,6 +68,16 @@ class Batcher:
     def close(self):
         self._stop.set()
         self.thread.join(timeout=5)
+        self._fail_pending("batcher is shut down")
+
+    def _fail_pending(self, msg: str):
+        while True:
+            try:
+                _, slot, done = self.q.get_nowait()
+            except queue.Empty:
+                return
+            slot["error"] = msg
+            done.set()
 
     def _loop(self):
         while not self._stop.is_set():
@@ -81,12 +95,12 @@ class Batcher:
                     batch.append(self.q.get(timeout=timeout))
                 except queue.Empty:
                     break
-            pixels = np.stack([b[0] for b in batch])
-            pad = self.batch_size - len(batch)
-            if pad:
-                pixels = np.concatenate(
-                    [pixels, np.repeat(pixels[-1:], pad, axis=0)])
             try:
+                pixels = np.stack([b[0] for b in batch])
+                pad = self.batch_size - len(batch)
+                if pad:
+                    pixels = np.concatenate(
+                        [pixels, np.repeat(pixels[-1:], pad, axis=0)])
                 logits = np.asarray(self.forward(pixels))
                 for i, (_, slot, done) in enumerate(batch):
                     slot["logits"] = logits[i]
@@ -95,6 +109,7 @@ class Batcher:
                 for _, slot, done in batch:
                     slot["error"] = repr(e)
                     done.set()
+        self._fail_pending("batcher is shut down")
 
 
 def build_forward(batch_size: int):
@@ -109,10 +124,8 @@ def build_forward(batch_size: int):
     pcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp", top_k=8)
     params = init_pruned_vit_params(jax.random.PRNGKey(0), config, pcfg)
     # deployment would restore_checkpoint(...) here
-    interpret = jax.default_backend() == "cpu"
-
     fn = jax.jit(lambda p, u8: serving_forward(
-        p, u8, config, pcfg, interpret=interpret)["logits"])
+        p, u8, config, pcfg)["logits"])
     side = config.image_size
 
     def forward(pixels_hw3_u8: np.ndarray) -> np.ndarray:
@@ -132,6 +145,11 @@ def make_server(port: int, batcher: Batcher, side: int):
             pass
 
         def do_POST(self):
+            if self.path != "/classify":
+                self.send_response(404)
+                self.end_headers()
+                self.wfile.write(b"POST /classify")
+                return
             n = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(n)
             if len(body) != side * side * 3:

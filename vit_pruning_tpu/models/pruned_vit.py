@@ -588,6 +588,23 @@ def skip_ratio(keep_masks: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - keep_masks.mean(axis=(1, 2), dtype=jnp.float32)
 
 
+def _keep_projection(scores: jnp.ndarray, k: int):
+    """The progressive-compaction selection, in one place: CLS + top-k
+    patches by score (rank_keep_mask tie-break), compacted-row assignment
+    by cumsum. Returns (mask [B, S] bool, P [B, k+1, S] bool one-hot
+    gather). Both progressive_drop and merge_dropped_tokens MUST derive
+    their kept set from this helper — merge targets desynchronize from the
+    drop decision if the two ever diverge (XLA CSE dedupes the recompute)."""
+    keep = rank_keep_mask(scores, k)  # [B, S-1] patch keeps
+    mask = add_cls_keep(keep)  # [B, S], CLS always kept
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1  # compacted row
+    P = (
+        rank[:, None, :]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, k + 1, 1), 1)
+    ) & mask[:, None, :]  # [B, k+1, S]
+    return mask, P
+
+
 def progressive_drop(
     x: jnp.ndarray,
     pred_params: Optional[dict],
@@ -614,18 +631,11 @@ def progressive_drop(
     # formulation (kept as _progressive_drop_topk for the parity test).
     # top_k + sort are the expensive pieces of re-decide selection on TPU
     # (see ops/masking.py::rank_keep_mask); the comparison rank streams on
-    # the VPU instead.
-    keep = rank_keep_mask(scores, k)  # [B, cur-1] patch keeps
-    mask = add_cls_keep(keep)  # [B, cur], CLS always kept
-    rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1  # compacted row
-    # one-hot gather as a batched matmul on the MXU instead of XLA's dynamic
-    # gather (the bucketed_masked_layer lesson: row selection as P @ x is
-    # exact — each P row has a single 1 — and several times cheaper at these
-    # shapes than take_along_axis)
-    P = (
-        rank[:, None, :]
-        == jax.lax.broadcasted_iota(jnp.int32, (1, k + 1, 1), 1)
-    ) & mask[:, None, :]  # [B, k+1, S]
+    # the VPU instead. The one-hot gather runs as a batched matmul on the
+    # MXU instead of XLA's dynamic gather (the bucketed_masked_layer
+    # lesson: row selection as P @ x is exact — each P row has a single 1
+    # — and several times cheaper at these shapes than take_along_axis).
+    _, P = _keep_projection(scores, k)
     xc = jnp.einsum("brt,btd->brd", P.astype(x.dtype), x)
     # source index of each compacted row (viz/pipeline bookkeeping; dead
     # code under the serving jit, where only logits are consumed)
@@ -660,14 +670,8 @@ def merge_dropped_tokens(
     merges in either direction.
     """
     dtype = x_full.dtype
-    keep = rank_keep_mask(scores, k)  # [B, S-1] — same decision as the drop
-    mask = add_cls_keep(keep)  # [B, S]
-    # sizes of the compacted rows, via the same rank/cumsum one-hot
-    rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1
-    P = (
-        rank[:, None, :]
-        == jax.lax.broadcasted_iota(jnp.int32, (1, k + 1, 1), 1)
-    ) & mask[:, None, :]  # [B, k+1, S]
+    # the same decision as the drop, from the same helper (never re-derive)
+    mask, P = _keep_projection(scores, k)
     sz_c = jnp.einsum("brt,bt->br", P.astype(dtype), sizes)  # [B, k+1]
 
     kept_p = xc[:, 1:, :]  # [B, k, D]
