@@ -42,6 +42,40 @@ def timeit(fn, args, iters: int, warmup: int = 2) -> float:
     return float(np.median(times))
 
 
+# TPU v5e (v5 lite) per-chip peak: 197 TFLOP/s bf16 (394 TOPS int8). MFU
+# fields are only emitted for bf16 runs — fp32 matmuls on this MXU go
+# through multi-pass emulation with no single published peak to normalize by.
+PEAK_TFLOPS = {"bfloat16": 197.0}
+
+
+def flops_per_image(config, pcfg=None, mlp_dim=None) -> float:
+    """Analytic per-image forward FLOPs (utils/flops.py) for a bench config.
+
+    mlp_dim: override for channel-pruned backbones (prune_mlp_channels
+    halves the weights but not the config; utils/flops._layer_flops reads
+    config.mlp_dim)."""
+    from vit_pruning_tpu.utils.flops import pruned_vit_flops, vit_flops
+
+    if mlp_dim is not None:
+        config = config.replace(mlp_dim=mlp_dim)
+    if pcfg is None:
+        return vit_flops(config)
+    return pruned_vit_flops(config, pcfg)
+
+
+def mfu_fields(prefix: str, img_per_sec: float, flops_img: float, dtype: str) -> dict:
+    """achieved-TFLOP/s + %-of-peak fields for one measured config (VERDICT
+    r3 #1). 'Achieved' uses the analytic model FLOPs (matmuls only, the MXU
+    convention), so it is model-FLOP utilization, not executed-op counting."""
+    tfs = img_per_sec * flops_img / 1e12
+    p = f"{prefix}_" if prefix else ""
+    out = {f"{p}achieved_tflops": round(tfs, 2)}
+    peak = PEAK_TFLOPS.get(dtype)
+    if peak:
+        out[f"{p}mfu"] = round(tfs / peak, 4)
+    return out
+
+
 def amortized(forward, inner: int):
     """Wrap a forward into `inner` sequential evaluations inside ONE jitted
     call, returning a scalar — amortizes the ~30 ms per-dispatch overhead of
@@ -118,6 +152,12 @@ def main():
     ap.add_argument("--serving", action="store_true",
                     help="measure the full uint8 serving path (fused embed "
                          "kernel + progressive compaction) as the pruned side")
+    ap.add_argument("--token50_sweep", action="store_true",
+                    help="measure EVERY token50_schedules candidate (pure "
+                         "token skip at mean 50%% — the literal north-star "
+                         "config, VERDICT r3 #1) against the same-run dense; "
+                         "matrix to stderr + token50_sweep.json, best-"
+                         "candidate JSON on stdout")
     ap.add_argument("--full", action="store_true",
                     help="sweep DeiT-T/S x {0,25,50}%% skip (SURVEY §7 step 8); "
                          "matrix to stderr + bench_full.json, headline JSON on stdout")
@@ -183,16 +223,22 @@ def main():
                 args.inner)
             t = timeit(fn, (params0, xb), args.iters) / args.inner
             live = [v - 1 for v in schedule_live(csched, n)]
+            ips = args.batch / t
             return {"model": model_name, "skip": round(1.0 - sum(live) / len(live) / n, 4),
                     "mode": preset,
-                    "img_per_sec_chip": round(args.batch / t, 1),
-                    "ms_per_batch": round(t * 1e3, 2)}
+                    "img_per_sec_chip": round(ips, 1),
+                    "ms_per_batch": round(t * 1e3, 2),
+                    **mfu_fields("", ips,
+                                 flops_per_image(c_config, cpcfg,
+                                                 mlp_dim=config.mlp_dim // 2),
+                                 args.dtype)}
         params0 = jax.tree.map(lambda a: a.astype(dtype), params0)
         if skip <= 0:
             fn = amortized(
                 lambda p, v: vit_forward(p["backbone"], v, config)["logits"], args.inner
             )
             t = timeit(fn, (params0, xb), args.iters) / args.inner
+            pc = None
         else:
             kk = max(1, int(round(n * (1.0 - skip))))
             pc = PruneConfig(mode=mode, predictor="cls_mlp", loss="mse_attention", top_k=kk)
@@ -204,20 +250,24 @@ def main():
                 f = lambda p, v: pruned_vit_forward(p, v, config, pc, rng=rng_)["logits"]
             fn = amortized(f, args.inner)
             t = timeit(fn, (params0, xb), args.iters) / args.inner
+        ips = args.batch / t
         return {"model": model_name, "skip": skip, "mode": mode if skip > 0 else "dense",
-                "img_per_sec_chip": round(args.batch / t, 1), "ms_per_batch": round(t * 1e3, 2)}
+                "img_per_sec_chip": round(ips, 1), "ms_per_batch": round(t * 1e3, 2),
+                **mfu_fields("", ips, flops_per_image(config, pc), args.dtype)}
 
     if args.full:
         import itertools
 
+        # T/S/B/L x {dense, 25, 50, composed, ultra} in ONE command (VERDICT
+        # r3 #5: the ViT-L scaling rows must come out of the documented
+        # matrix command, not hand-run singles)
+        full_models = ["deit_tiny", "deit_small", "deit_base", "vit_large"]
         rows = []
-        for mname, skip in itertools.product(
-            ["deit_tiny", "deit_small", "deit_base"], [0.0, 0.25, 0.5]
-        ):
+        for mname, skip in itertools.product(full_models, [0.0, 0.25, 0.5]):
             row = measure(mname, skip, args.mode)
             rows.append(row)
             log(row)
-        for mname in ("deit_tiny", "deit_small", "deit_base"):
+        for mname in full_models:
             for preset in ("composed", "ultra"):
                 row = measure(mname, 0.0, args.mode, composed=True, preset=preset)
                 rows.append(row)
@@ -231,6 +281,54 @@ def main():
             "value": half["img_per_sec_chip"],
             "unit": "img/s/chip",
             "vs_baseline": round(half["img_per_sec_chip"] / dense["img_per_sec_chip"], 3),
+        }))
+        return
+
+    if args.token50_sweep:
+        from vit_pruning_tpu.configs import schedule_live, token50_schedules
+
+        config = models[args.model](num_labels=100)
+        n = config.num_patches
+        params = init_pruned_vit_params(
+            jax.random.PRNGKey(0), config,
+            PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                        loss="mse_attention", top_k=n // 2))
+        params = jax.tree.map(lambda a: a.astype(dtype), params)
+        x = jax.random.normal(jax.random.PRNGKey(1), (args.batch, 3, 224, 224), dtype)
+        dense = amortized(lambda p, v: vit_forward(p, v, config)["logits"], args.inner)
+        t_dense = timeit(dense, (params["backbone"], x), args.iters) / args.inner
+        log(f"dense: {args.batch / t_dense:.1f} img/s ({t_dense * 1e3:.2f} ms)")
+        rows = []
+        for name, sched in token50_schedules(n, config.num_layers).items():
+            scfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                               loss="mse_attention",
+                               top_k=(sched[0] or n), keep_schedule=sched)
+            fn = amortized(
+                lambda p, v, _c=scfg: progressive_topk_forward(
+                    p, v, config, _c, logits_only=True)["logits"], args.inner)
+            t = timeit(fn, (params, x), args.iters) / args.inner
+            live = [v - 1 for v in schedule_live(sched, n)]
+            ips = args.batch / t
+            row = {"candidate": name, "schedule": list(sched),
+                   "mean_live_patches": round(sum(live) / len(live), 2),
+                   "mean_skip": round(1.0 - sum(live) / len(live) / n, 4),
+                   "img_per_sec_chip": round(ips, 1),
+                   "ms_per_batch": round(t * 1e3, 2),
+                   "vs_dense": round(ips * t_dense / args.batch, 3),
+                   **mfu_fields("token50", ips,
+                                flops_per_image(config, scfg), args.dtype)}
+            rows.append(row)
+            log(row)
+        with open("token50_sweep.json", "w") as fh:
+            json.dump({"model": args.model, "batch": args.batch,
+                       "dtype": args.dtype,
+                       "dense_img_per_sec": round(args.batch / t_dense, 1),
+                       "candidates": rows}, fh, indent=1)
+        best = max(rows, key=lambda r: r["img_per_sec_chip"])
+        print(json.dumps({
+            "metric": f"{args.model}_token50_best_{best['candidate']}",
+            "value": best["img_per_sec_chip"], "unit": "img/s/chip",
+            "vs_baseline": best["vs_dense"],
         }))
         return
 
@@ -387,6 +485,24 @@ def main():
         "vs_baseline": round(pruned_ips / dense_ips, 3),
         "dense_img_per_sec": round(dense_ips, 1),
     }
+    # achieved TFLOP/s + model-FLOP utilization per config (VERDICT r3 #1);
+    # analytic matmul FLOPs from utils/flops.py, v5e bf16 peak 197 TFLOP/s
+    result.update(mfu_fields("dense", dense_ips, flops_per_image(config),
+                             args.dtype))
+    if args.mode == "mask" and measured_skip is not None:
+        # mask mode's nominal config doesn't describe the executed density;
+        # use the measured one (bucketed execution tracks it)
+        from vit_pruning_tpu.utils.flops import pruned_vit_flops
+
+        live = (1.0 - measured_skip) * config.seq_len
+        fp_pruned = pruned_vit_flops(
+            pruned_config, pcfg,
+            tokens_per_layer=[live] * config.num_layers)
+    else:
+        fp_pruned = flops_per_image(
+            pruned_config, pcfg,
+            mlp_dim=config.mlp_dim // 2 if args.composed else None)
+    result.update(mfu_fields("pruned", pruned_ips, fp_pruned, args.dtype))
     if args.quant != "none":
         # same-quantization dense control, so both comparisons are on record
         dense_q = amortized(
@@ -430,6 +546,10 @@ def main():
             f"(3/6 heads, 1/2 mlp, {1.0 - sum(live) / len(live) / n:.0%} token skip)")
         result["composed_img_per_sec"] = round(args.batch / t_comp, 1)
         result["composed_vs_dense"] = round(t_dense / t_comp, 3)
+        result.update(mfu_fields(
+            "composed", args.batch / t_comp,
+            flops_per_image(c_config, cpcfg, mlp_dim=config.mlp_dim // 2),
+            args.dtype))
 
         # ultra preset: same structural pruning, ~halved live token counts
         # (quality.py --preset ultra: zero token delta at gate scale). The
@@ -460,6 +580,47 @@ def main():
                 f"{', merge compaction' if merge else ''})")
             result[f"{key}_img_per_sec"] = round(args.batch / t_ultra, 1)
             result[f"{key}_vs_dense"] = round(t_dense / t_ultra, 3)
+            result.update(mfu_fields(
+                key, args.batch / t_ultra,
+                flops_per_image(c_config, upcfg, mlp_dim=config.mlp_dim // 2),
+                args.dtype))
+
+        # token50: the best PURE token-skip config at mean 50% skip (VERDICT
+        # r3 #1 — the configuration the north star literally names, with no
+        # head/MLP pruning). The pinned schedule (configs.token50_schedule)
+        # is the sweep winner; when it is the uniform single-drop schedule it
+        # traces identically to the headline config above, so the headline
+        # measurement IS the token50 measurement (one timing, no recompile).
+        from vit_pruning_tpu.configs import token50_schedule
+
+        tsched = token50_schedule(n, config.num_layers)
+        t50_cfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                              loss="mse_attention", top_k=(tsched[0] or n),
+                              keep_schedule=tsched)
+        uniform_headline = (
+            tsched == tuple([k] + [0] * (config.num_layers - 1))
+            and args.skip == 0.5 and not args.serving and args.quant == "none"
+        )
+        if uniform_headline:
+            t50_ips = pruned_ips
+        else:
+            t50 = amortized(
+                lambda p, v: progressive_topk_forward(
+                    p, v, config, t50_cfg, logits_only=True)["logits"],
+                args.inner)
+            t50_ips = args.batch / (timeit(t50, (params, x), args.iters)
+                                    / args.inner)
+        t50_live = [v - 1 for v in schedule_live(tsched, n)]
+        log(f"token50 (pure token skip, schedule {tsched}): "
+            f"{t50_ips:.1f} img/s/chip = {t50_ips / dense_ips:.2f}x dense "
+            f"(mean live {sum(t50_live) / len(t50_live):.1f}/{n} patches)")
+        result["token50_img_per_sec"] = round(t50_ips, 1)
+        result["token50_vs_dense"] = round(t50_ips / dense_ips, 3)
+        result["token50_schedule"] = list(tsched)
+        result["token50_mean_live_patches"] = round(
+            sum(t50_live) / len(t50_live), 2)
+        result.update(mfu_fields("token50", t50_ips,
+                                 flops_per_image(config, t50_cfg), args.dtype))
     print(json.dumps(result))
 
 

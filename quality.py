@@ -129,7 +129,8 @@ def build_task(args):
         # evidence) is scale-invariant; at the gate default (patch 4, 64
         # patches) these resolve to the round-2 values (cell=4, 8 cells)
         cell = config.patch_size
-        signal = max(8, config.num_patches // 8)
+        signal = (getattr(args, "signal_patches", None)
+                  or max(8, config.num_patches // 8))
         tr = _cached_synthetic(
             args.train_size, config.image_size, config.num_labels,
             seed=0, label_noise=args.label_noise,
@@ -224,7 +225,10 @@ def attention_topk_agreement(params, test_b, config, pcfg):
     (NOT positionwise mask equality, which counts true negatives and reads
     ~0.9 for disjoint sets at k << N).
 
-    Returns (mass_capture, set_agreement).
+    Returns (mass_capture, set_agreement, capture_by_layer) — the third is
+    {layer_index: mean capture at that decide layer}, so deep-schedule
+    presets can be GATED on their weakest drop layer instead of a mean that
+    a strong layer 0 can mask (VERDICT r3 #2).
     """
     import numpy as np
 
@@ -255,7 +259,8 @@ def attention_topk_agreement(params, test_b, config, pcfg):
     fwd = jax.jit(lambda p, v: pruned_vit_forward(
         p, v, config, p_eval, compute_oracle=True,
         rng=jax.random.PRNGKey(0)))
-    capture, agree = [], []
+    capture = {i: [] for i in decide_layers}
+    agree = []
     for batch in test_b:
         out = fwd(params, batch["pixel_values"])
         for i in decide_layers:
@@ -263,10 +268,78 @@ def attention_topk_agreement(params, test_b, config, pcfg):
             t = np.asarray(out["aux"]["attn_target"][i], np.float64)  # [B,N]
             pred = np.asarray(rank_keep_mask(out["scores"][i], k))
             true = np.asarray(rank_keep_mask(jnp.asarray(t), k))
-            capture.append(float(np.mean(
+            capture[i].append(float(np.mean(
                 (t * pred).sum(-1) / np.maximum((t * true).sum(-1), 1e-12))))
             agree.append(float(np.mean((pred & true).sum(-1) / k)))
-    return float(np.mean(capture)), float(np.mean(agree))
+    by_layer = {i: float(np.mean(v)) for i, v in capture.items()}
+    return (float(np.mean(list(by_layer.values()))), float(np.mean(agree)),
+            by_layer)
+
+
+def margin_sweep(params, dense_acc, config, test_b, args, log):
+    """Serve the TRAINED headline weights through progressively deeper
+    schedules until the delta gate fails (VERDICT r3 #2): every preset
+    passing with exactly 0.0 delta is consistent with both 'presets are
+    accurate' and 'task saturated at this scale' — the margin curve
+    distinguishes them by locating where the task starts charging for
+    skipping. Two families:
+
+      single_drop  — the headline family at shrinking budgets: one drop to
+                     top-k at layer 0 (reference M7 semantics at depth).
+      progressive  — the ultra_schedule shape scaled m× deeper.
+
+    Same weights, same predictor scores; only the kept-set size changes.
+    Returns the gate_margin record for quality_results.json.
+    """
+    from vit_pruning_tpu.configs import schedule_live
+
+    n, L = config.num_patches, config.num_layers
+    rows = []
+    fails = 0
+    for frac in (0.5, 0.375, 0.25, 0.1875, 0.125, 0.09,
+                 0.0625, 0.045, 0.03, 0.015):
+        k = max(1, int(round(n * frac)))
+        pcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                           loss="mse_attention", top_k=k,
+                           predictor_hidden=args.predictor_hidden)
+        acc, _, _ = evaluate(params, test_b, config, pcfg, full_testing=False)
+        row = {"family": "single_drop", "top_k": k,
+               "skip": round(1.0 - (k + 1) / (n + 1), 4),
+               "top1": round(acc, 4), "delta": round(dense_acc - acc, 4),
+               "pass": bool(dense_acc - acc <= args.max_drop)}
+        rows.append(row)
+        log(f"margin {row}")
+        fails += 0 if row["pass"] else 1
+        if fails >= 3:
+            break  # curve has clearly crossed; deeper points add nothing
+    for m in (1, 2, 4, 8):
+        # ultra_schedule shape at m x depth (m=1 IS the ultra schedule)
+        sched = tuple(
+            [max(1, n // (2 * m))] + [max(1, n // (6 * m))] * min(4, L - 1)
+            + [max(1, n // (12 * m))] * max(0, L - 5))
+        pcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                           loss="mse_attention", top_k=sched[0],
+                           keep_schedule=sched,
+                           predictor_hidden=args.predictor_hidden)
+        live = [v - 1 for v in schedule_live(sched, n)]
+        acc, _, _ = evaluate(params, test_b, config, pcfg, full_testing=False)
+        row = {"family": "progressive", "schedule": list(sched),
+               "skip": round(1.0 - sum(live) / len(live) / n, 4),
+               "top1": round(acc, 4), "delta": round(dense_acc - acc, 4),
+               "pass": bool(dense_acc - acc <= args.max_drop)}
+        rows.append(row)
+        log(f"margin {row}")
+    single = [r for r in rows if r["family"] == "single_drop"]
+    passing = [r["skip"] for r in single if r["pass"]]
+    failing = [r["skip"] for r in single if not r["pass"]]
+    return {
+        "max_drop": args.max_drop,
+        "dense_top1": round(dense_acc, 4),
+        "rows": rows,
+        "deepest_passing_skip": max(passing) if passing else None,
+        "first_failing_skip": min(failing) if failing else None,
+        "gate_can_fail": bool(any(not r["pass"] for r in rows)),
+    }
 
 
 def train_and_eval(config, pcfg, train_b, test_b, args, log,
@@ -458,10 +531,15 @@ def measure_preset(params, eval_cfg, pcfg, train_b, test_b, args, log,
             # against the signal they were trained on, at the layers the
             # schedule actually decides: attention-mass capture (primary)
             # + top-k set agreement (reported)
-            mlp_acc, set_agree = attention_topk_agreement(
+            mlp_acc, set_agree, by_layer = attention_topk_agreement(
                 params, test_b, eval_cfg, pcfg)
             pred_extra["predictor_set_agreement"] = round(set_agree, 4)
-            log(f"predictor fidelity: attention-mass capture {mlp_acc:.4f}, "
+            pred_extra["predictor_capture_per_layer"] = {
+                str(i): round(v, 4) for i, v in by_layer.items()}
+            pred_extra["predictor_capture_min"] = round(min(by_layer.values()), 4)
+            log(f"predictor fidelity: attention-mass capture {mlp_acc:.4f} "
+                f"(per-layer min {min(by_layer.values()):.4f} at layer "
+                f"{min(by_layer, key=by_layer.get)}), "
                 f"top-k set agreement {set_agree:.4f} "
                 f"(decide layers of the serving schedule)")
         else:
@@ -527,6 +605,23 @@ def main(argv=None):
     ap.add_argument("--skip", type=float, default=0.5)
     ap.add_argument("--max_drop", type=float, default=0.005)
     ap.add_argument("--min_predictor_acc", type=float, default=0.85)
+    ap.add_argument("--min_layer_capture", type=float, default=0.70,
+                    help="deep-schedule (composed/ultra) predictor gate: "
+                    "attention-mass capture at EVERY drop layer of the "
+                    "serving schedule must be at least this (VERDICT r3 #2 "
+                    "— promotes the previously-informational fidelity "
+                    "numbers to a gated bar)")
+    ap.add_argument("--signal_patches", type=int, default=None,
+                    help="synthetic-task hardness override: number of patch "
+                    "cells carrying class evidence (default: "
+                    "max(8, num_patches//8)); shrink it to make the margin "
+                    "sweep bite earlier")
+    ap.add_argument("--margin_sweep", action="store_true",
+                    help="after the headline preset, serve its trained "
+                    "weights through progressively deeper schedules until "
+                    "the accuracy gate FAILS; records the delta-vs-depth "
+                    "curve as results['gate_margin'] (VERDICT r3 #2 — "
+                    "proves the gate can fail at this scale)")
     ap.add_argument("--skip_tol", type=float, default=0.08)
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--pred_epochs", type=int, default=30)
@@ -854,6 +949,14 @@ def main(argv=None):
             gates["delta_int8"] = bool((dense_acc - acc_i8) <= budget)
         if spec["check_predictor"]:
             gates["predictor"] = bool(mlp_acc >= args.min_predictor_acc)
+        if spec["structured"] and spec["pcfg"].loss == "mse_attention":
+            # deep-schedule predictor fidelity is GATED, not informational
+            # (VERDICT r3 #2): the weakest drop layer's attention-mass
+            # capture must clear the bar — a strong layer-0 capture must not
+            # mask a deep layer whose kept set is junk
+            gates["predictor_capture"] = bool(
+                pred_extra.get("predictor_capture_min", 0.0)
+                >= args.min_layer_capture)
         gates["skip"] = bool(abs(skip - spec["target_skip"]) <= args.skip_tol)
         ok = all(gates.values())
         all_pass &= ok
@@ -886,6 +989,21 @@ def main(argv=None):
             results["presets"][name]["capacity_cost"] = round(
                 dense_acc - acc_structural, 4)
         log(f"{name}: {results['presets'][name]}")
+
+    if args.margin_sweep:
+        if headline_params is None:
+            log("FATAL: --margin_sweep needs the headline preset in the run "
+                "(use --preset headline/both/all, or --headline_ckpt)")
+            print(json.dumps({"pass": False,
+                              "error": "margin_sweep_without_headline"}))
+            return 2
+        results["gate_margin"] = margin_sweep(
+            headline_params, dense_acc, config, test_b, args, log)
+        gm = results["gate_margin"]
+        log(f"gate_margin: can_fail={gm['gate_can_fail']} "
+            f"(delta <= {args.max_drop} through skip "
+            f"{gm['deepest_passing_skip']}, first failure at "
+            f"{gm['first_failing_skip']})")
 
     results["pass"] = bool(all_pass)
     if args.merge_into:

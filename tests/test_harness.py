@@ -394,3 +394,77 @@ def test_grad_accumulation_matches_full_batch():
             params, optimizer.init(params), batch, rng)
     with pytest.raises(ValueError, match="accum_steps"):
         make_train_step(CFG, PCFG, "both", optimizer, accum_steps=0)
+
+
+@pytest.mark.parametrize("loss", ["bce_oracle", "mse_cosine", "mse_attention", "focal"])
+@pytest.mark.parametrize("mode", ["mask", "topk"])
+def test_detached_cosine_step_matches_generic(mode, loss):
+    """The detached-trajectory predictor step (VERDICT r3 #6) must produce
+    the SAME parameter update as the generic backprop-through-everything
+    step: in the 'cosine' phase gradients reach predictor params only
+    through each layer's scores, so caching the trajectory is exact."""
+    pcfg = PruneConfig(mode=mode, predictor="cls_mlp", loss=loss, top_k=2)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    batch = next(iter(_data()))
+    rng = jax.random.PRNGKey(3)
+
+    results = []
+    for detach in (False, True):
+        p = jax.tree.map(lambda a: a.copy(), params)
+        optimizer = masked_adam(p, "mlp_train", lr=1e-2)
+        step = make_train_step(CFG, pcfg, "cosine", optimizer,
+                               detach_cosine=detach)
+        new_p, _, metrics = step(p, optimizer.init(p), batch, rng)
+        results.append((new_p, metrics))
+    (p_gen, m_gen), (p_det, m_det) = results
+    np.testing.assert_allclose(float(m_gen["pred_loss"]),
+                               float(m_det["pred_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_gen), jax.tree.leaves(p_det)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_classification_step_skips_oracle_and_matches_loss():
+    """The classification phase's train step must (a) carry no
+    confusion/oracle metrics (the oracle dense passes are skipped — VERDICT
+    r3 #6) and (b) optimize the same CE loss as before: one step's cls_loss
+    equals the instrumented forward's CE on the same batch."""
+    from vit_pruning_tpu.models.pruned_vit import pruned_vit_forward
+    from vit_pruning_tpu.train.losses import cross_entropy
+
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, PCFG)
+    batch = next(iter(_data()))
+    optimizer = masked_adam(params, "vit_train", lr=1e-3)
+    step = make_train_step(CFG, PCFG, "classification", optimizer)
+    _, _, metrics = step(jax.tree.map(lambda a: a.copy(), params),
+                         optimizer.init(params), batch, jax.random.PRNGKey(1))
+    assert "confusion" not in metrics
+    assert float(metrics["pred_loss"]) == 0.0
+    out = pruned_vit_forward(params, batch["pixel_values"], CFG, PCFG,
+                             train=True, rng=jax.random.PRNGKey(1))
+    want = float(cross_entropy(out["logits"], batch["labels"]))
+    np.testing.assert_allclose(float(metrics["cls_loss"]), want, rtol=1e-5)
+
+
+def test_oracle_override_skips_aux_but_keeps_training_paths():
+    """pruned_vit_forward(train=True, oracle=False) returns no aux yet
+    executes the training (re-decide, static-shape) paths: masks must
+    byte-match the instrumented forward's."""
+    from vit_pruning_tpu.models.pruned_vit import pruned_vit_forward
+
+    for mode in ("mask", "topk", "topk_prog", "random"):
+        pcfg = PruneConfig(mode=mode, predictor="cls_mlp", loss="bce_oracle",
+                           top_k=2)
+        params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+        batch = next(iter(_data()))
+        rng = jax.random.PRNGKey(5)
+        fast = pruned_vit_forward(params, batch["pixel_values"], CFG, pcfg,
+                                  train=True, oracle=False, rng=rng)
+        full = pruned_vit_forward(params, batch["pixel_values"], CFG, pcfg,
+                                  train=True, rng=rng)
+        assert "aux" not in fast and "aux" in full
+        np.testing.assert_array_equal(np.asarray(fast["keep_masks"]),
+                                      np.asarray(full["keep_masks"]))
+        np.testing.assert_allclose(np.asarray(fast["logits"], np.float32),
+                                   np.asarray(full["logits"], np.float32),
+                                   rtol=1e-5, atol=1e-5)

@@ -210,8 +210,10 @@ def test_attn_target_exposed_and_agreement_is_one_for_oracle_scores():
 
     images, labels = synthetic_dataset(n=8, image_size=CFG.image_size, num_labels=4)
     tb = Batches(images, labels, batch_size=8, image_size=CFG.image_size)
-    cap, agree = attention_topk_agreement(params, tb, CFG, pcfg)
+    cap, agree, by_layer = attention_topk_agreement(params, tb, CFG, pcfg)
     assert 0.0 <= cap <= 1.5 and 0.0 <= agree <= 1.0
+    # plain top_k decides at layer 0 only; the per-layer dict must agree
+    assert set(by_layer) == {0} and by_layer[0] == cap
 
 
 def test_rank_keep_mask_matches_topk():
@@ -426,9 +428,11 @@ def test_attention_agreement_skips_inactive_drop_layers():
     # control: no entry at layer 0 at all — identical serving decisions
     pcfg_b = PruneConfig(keep_schedule=(0, 0, 6, 0), **common)
     params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg_a)
-    cap_a, agree_a = attention_topk_agreement(params, tb, CFG, pcfg_a)
-    cap_b, agree_b = attention_topk_agreement(params, tb, CFG, pcfg_b)
+    cap_a, agree_a, by_a = attention_topk_agreement(params, tb, CFG, pcfg_a)
+    cap_b, agree_b, by_b = attention_topk_agreement(params, tb, CFG, pcfg_b)
     assert cap_a == cap_b and agree_a == agree_b
+    # the inactive layer-0 drop entry must not appear as a graded layer
+    assert set(by_a) == set(by_b) == {2}
 
 
 # --- merge_dropped (ToMe-flavored compaction, framework extension) -----------

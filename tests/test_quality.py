@@ -66,7 +66,10 @@ def test_quality_mask_preset_serves_headline_weights(monkeypatch, capsys):
         calls["train_params"].append(params)
         acc_structural = 0.88 if structured else None
         skip = 0.64 if structured else 0.5  # near each preset's target
-        return (0.9, 0.9, 0.9, skip, acc_structural, params, {})
+        # structured mse_attention presets are gated on their weakest drop
+        # layer's attention-mass capture (predictor_capture_min)
+        extra = {"predictor_capture_min": 0.9} if structured else {}
+        return (0.9, 0.9, 0.9, skip, acc_structural, params, extra)
 
     def fake_measure_preset(params, eval_cfg, pcfg, train_b, test_b, args,
                             log, structured):
@@ -252,7 +255,8 @@ def test_quality_merge_dropped_flag_flips_topk_prog_presets(monkeypatch, capsys)
         calls["pcfgs"].append(pcfg)
         acc_structural = 0.88 if structured else None
         skip = 0.64 if structured else 0.5
-        return (0.9, 0.9, 0.9, skip, acc_structural, params, {})
+        extra = {"predictor_capture_min": 0.9} if structured else {}
+        return (0.9, 0.9, 0.9, skip, acc_structural, params, extra)
 
     def fake_measure_preset(params, eval_cfg, pcfg, train_b, test_b, args,
                             log, structured):

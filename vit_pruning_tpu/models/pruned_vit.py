@@ -228,11 +228,18 @@ def pruned_layer_forward(
     quant: str = "none",
     updatenet_params: Optional[dict] = None,
     teacher: Optional[tuple] = None,
+    train: bool = False,
 ):
     """One pruned encoder layer. Returns (x_out, info dict).
 
     info: keep_mask [B,S] bool, scores [B,N], and when need_oracle also
     pred_loss (scalar), similarity [B,N], oracle_keep [B,N], confusion [2,2].
+
+    train=True without need_oracle (the classification fine-tune phase,
+    which never reads pred_loss — VERDICT r3 #6) runs the full-length
+    masked layer / static gather-scatter paths (differentiable, one
+    compiled shape) instead of the serving-only bucketed dispatch, but
+    skips the oracle's dense pass entirely.
     """
     b, s, d = x.shape
     n = s - 1
@@ -298,7 +305,7 @@ def pruned_layer_forward(
             # only their own (query) outputs are discarded
             y = vit_layer(x, layer_params, config, use_pallas=use_pallas, quant=quant)
             out = jnp.where(mask[..., None], y, _passthrough(x, extras, mask))
-        elif not need_oracle:
+        elif not (need_oracle or train):
             # serving: bucketed compaction — same kept-key attention set,
             # but the executed shape tracks the batch's actual mask density
             # (capped configs run at exactly budget+1)
@@ -314,13 +321,13 @@ def pruned_layer_forward(
                           use_pallas=use_pallas, quant=quant)
             out = jnp.where(mask[..., None], y, _passthrough(x, extras, mask))
     elif pcfg.mode == "topk":
-        if need_oracle:
+        if need_oracle or train:
             keep, kidx = topk_keep_mask(scores, pcfg.top_k)
         else:
             # serving needs only the mask: rank selection (no sort/scatter)
             keep = rank_keep_mask(scores, pcfg.top_k)
         mask = add_cls_keep(keep)
-        if not need_oracle:
+        if not (need_oracle or train):
             # serving: one-hot matmul compaction at the static k+1 bucket —
             # XLA's dynamic gather/scatter costs ~2 ms/layer at these shapes
             # (measured: gather/scatter form 12.7k img/s vs 14.2k bucketed)
@@ -353,7 +360,7 @@ def pruned_layer_forward(
         )
         keep = random_keep_mask(jax.random.fold_in(rng, layer_idx), b, n, budget)
         mask = add_cls_keep(keep)
-        if not need_oracle:
+        if not (need_oracle or train):
             # fixed per-image budget => the bucket runs at exactly budget+1:
             # mask-mode execution cost at the exact skip rate
             out = bucketed_masked_layer(x, layer_params, mask, config,
@@ -395,6 +402,9 @@ def pruned_layer_forward(
             nrm = jnp.linalg.norm(dense_p, axis=-1) * jnp.linalg.norm(oracle_in, axis=-1)
             cos = (dot / jnp.maximum(nrm, 1e-12) + 1.0) / 2.0
             pred_loss = mse_cosine_loss(scores, cos)
+            # training signal for the detached predictor step (harness fast
+            # path): the cosine target the scores regress
+            info["cos_target"] = cos
         elif pcfg.loss == "mse_attention":
             target = jax.lax.stop_gradient(probs[:, :, 0, 1:].mean(axis=1))
             pred_loss = mse_attention_loss(scores, target)
@@ -435,6 +445,8 @@ def pruned_vit_forward(
     *,
     train: bool = False,
     compute_oracle: bool = False,
+    oracle: Optional[bool] = None,
+    return_layer_inputs: bool = False,
     rng: Optional[jax.Array] = None,
     use_pallas: Optional[bool] = None,
     quant: Optional[str] = None,
@@ -445,14 +457,23 @@ def pruned_vit_forward(
     Returns dict with:
       logits [B, num_labels], cls [B, D], last_hidden [B, S, D]
       keep_masks [L, B, S] bool, scores [L, B, N]
-      aux (only when train or compute_oracle — the reference's
-      `compute_cosine` flag, model_utils.py:95): pred_loss [L],
+      aux (only when the oracle instrumentation runs): pred_loss [L],
       similarity [L, B, N], oracle_keep [L, B, N], confusion [L, 2, 2]
-    `train=True` or `compute_oracle=True` adds the dense oracle pass per
-    layer, exactly like the reference's training/full_testing paths.
+      (+ attn_target / cos_target for the corresponding losses)
+      layer_inputs [L, B, S, D] (only when return_layer_inputs — each
+      layer's input AS SEEN by its predictor, for the harness's detached
+      predictor phase)
+
+    The oracle instrumentation (the reference's `compute_cosine` flag,
+    model_utils.py:95 — one dense pass per layer as teacher/label source)
+    runs when `train or compute_oracle`, unless `oracle` overrides it
+    explicitly: the classification fine-tune phase never reads pred_loss,
+    so its train step passes oracle=False and skips the dense passes
+    entirely (VERDICT r3 #6) while still training on the static-shape
+    re-decide execution paths.
     """
-    need_oracle = train or compute_oracle
-    if need_oracle:
+    need_oracle = (train or compute_oracle) if oracle is None else oracle
+    if train or need_oracle:
         # training/oracle paths always run unquantized: int8 matmuls have no
         # useful gradient (round/clip are zero-derivative) and the oracle
         # teacher should be the float model (set_serving_quant docstring)
@@ -461,7 +482,7 @@ def pruned_vit_forward(
         from vit_pruning_tpu.ops.dispatch import serving_quant
 
         quant = serving_quant()
-    if pcfg.mode == "topk_prog" and not need_oracle:
+    if pcfg.mode == "topk_prog" and not (train or need_oracle):
         # serving path: progressive compaction (no oracle instrumentation)
         return progressive_topk_forward(
             params, pixel_values, config, pcfg, use_pallas=use_pallas,
@@ -483,12 +504,14 @@ def pruned_vit_forward(
 
     use_teacher = need_oracle and pcfg.oracle_stream == "parallel"
     x_teacher = x if use_teacher else None
-    masks, scores_l, aux_l = [], [], []
+    masks, scores_l, aux_l, layer_inputs = [], [], [], []
     prev_keep = None
     # M8 skip-next flag (himanshu/midlayer.py:471-523): [B] bool, set by the
     # previous layer's thresholded mask; flagged images bypass this layer.
     skip_vec = None
     for i in range(config.num_layers):
+        if return_layer_inputs:
+            layer_inputs.append(x)
         lp = _layer_slice(backbone["layers"], i)
         teacher = None
         if use_teacher:
@@ -517,6 +540,8 @@ def pruned_vit_forward(
                 )
                 if pcfg.loss == "mse_attention":
                     info["attn_target"] = jnp.zeros((x.shape[0], n), x.dtype)
+                elif pcfg.loss == "mse_cosine":
+                    info["cos_target"] = jnp.ones((x.shape[0], n), x.dtype)
         else:
             def layer_fn(lp_, pred_, x_, prev_keep_, rng_, un_, teacher_, _i=i):
                 return pruned_layer_forward(
@@ -524,6 +549,7 @@ def pruned_vit_forward(
                     prev_keep=prev_keep_, nbr_idx=nbr_idx,
                     need_oracle=need_oracle, rng=rng_, use_pallas=use_pallas,
                     quant=quant, updatenet_params=un_, teacher=teacher_,
+                    train=train,
                 )
             if remat:
                 # trade FLOPs for memory on long fine-tunes (the reference's
@@ -565,6 +591,8 @@ def pruned_vit_forward(
             keys = ["pred_loss", "similarity", "oracle_keep", "confusion"]
             if pcfg.loss == "mse_attention":
                 keys.append("attn_target")
+            elif pcfg.loss == "mse_cosine":
+                keys.append("cos_target")
             aux_l.append({k: info[k] for k in keys})
 
     x = layer_norm(x, backbone["ln_f"], config.layernorm_eps)
@@ -580,6 +608,8 @@ def pruned_vit_forward(
     }
     if need_oracle:
         out["aux"] = jax.tree.map(lambda *a: jnp.stack(a), *aux_l)
+    if return_layer_inputs:
+        out["layer_inputs"] = jnp.stack(layer_inputs)
     return out
 
 
@@ -733,12 +763,14 @@ def progressive_topk_forward(
     deployment configuration for the >=3x throughput target.
 
     logits_only=True (the deployment fast path) drops 'cls'/'last_hidden'
-    from the output and, on the Pallas path, (a) fuses the patch embedding's
-    projection + position add into one kernel pass and (b) fuses the LAST
-    layer + final-LN + classifier into a CLS-only megakernel — the last
-    layer's non-CLS Q/attention/MLP rows are dead work once only logits are
+    from the output and, on the Pallas path, fuses the LAST layer +
+    final-LN + classifier into a CLS-only megakernel — the last layer's
+    non-CLS Q/attention/MLP rows are dead work once only logits are
     consumed (ops/pallas/layer.py::fused_vit_layer_cls_logits; VERDICT r2
-    #5 fixed-cost shave). Numerics are identical to the full path.
+    #5 fixed-cost shave). Numerics are identical to the full path. (The
+    patch embedding is NOT Pallas-fused: the measured-4x-slower fused embed
+    kernel was reverted — see the NOTE at the embed call below; the shipped
+    embed is XLA's strided-conv formulation.)
 
     Returns dict(logits, cls, keep_masks [L, B, S] bool mapped back to
     original token positions for viz parity, scores [L, B, N] in original

@@ -1,4 +1,12 @@
-"""Fused patch-embedding Pallas kernel: normalize + project + position add.
+"""Fused patch-embedding Pallas kernels: normalize + project + position add.
+
+STATUS: kept as DOCUMENTED NEGATIVES, not production kernels — both wrappers
+below (embed_u8, embed_fused) measured 4-5x slower than XLA's embedding
+programs on v5e (5.44 vs 1.07 ms and 5.55 vs 1.40 ms per batch-512) and were
+replaced by `serving.embed_from_u8` / `models.vit.embed` (the patch
+extraction's index shuffle defeats the fusion: it materializes the
+[B, N, C*P*P] patch matrix in HBM, which the strided-conv formulation never
+builds). See each wrapper's docstring and RESULTS.md.
 
 The conv-as-matmul patch embedding (ops/patch_embed.py) as a TPU kernel that
 also folds in the image normalization ((x/255 - mean)/std) and the position

@@ -33,20 +33,83 @@ from vit_pruning_tpu.configs import ViTConfig
 from vit_pruning_tpu.models.vit import _layer_slice, embed, layer_norm, vit_layer
 
 
-def make_stage_mesh(stages: int, data: int = 1, devices=None) -> Mesh:
-    """('stage',) mesh, or ('stage', 'data') when data > 1 — pipeline
-    composed with batch data parallelism (each stage row holds `data`
-    devices that split every microbatch)."""
+def make_stage_mesh(stages: int, data: int = 1, model: int = 1,
+                    devices=None) -> Mesh:
+    """('stage',) mesh, or composed with other axes: ('stage', 'data') for
+    pp x dp (each stage row holds `data` devices splitting every
+    microbatch), ('stage', 'model') for pp x tp (each stage's layers run
+    Megatron-sharded across `model` devices — see tp_vit_layer). data and
+    model are mutually exclusive here (a 3-axis pp x tp x dp mesh is a
+    straightforward extension, not needed for the reference workload)."""
+    if data > 1 and model > 1:
+        raise ValueError("compose 'data' or 'model' with 'stage', not both")
     devices = list(devices if devices is not None else jax.devices())
-    n = stages * data
+    n = stages * data * model
     if n > len(devices):
-        raise ValueError(f"pipeline mesh {stages}x{data} needs {n} devices, "
-                         f"have {len(devices)}")
-    if data == 1:
+        raise ValueError(f"pipeline mesh needs {n} devices, have {len(devices)}")
+    if data == 1 and model == 1:
         arr = mesh_utils.create_device_mesh((stages,), devices=devices[:n])
         return Mesh(arr, ("stage",))
-    arr = mesh_utils.create_device_mesh((stages, data), devices=devices[:n])
-    return Mesh(arr, ("stage", "data"))
+    second = "data" if data > 1 else "model"
+    arr = mesh_utils.create_device_mesh(
+        (stages, max(data, model)), devices=devices[:n])
+    return Mesh(arr, ("stage", second))
+
+
+def tp_vit_layer(x: jnp.ndarray, lp: dict, config: ViTConfig) -> jnp.ndarray:
+    """One pre-LN transformer block, Megatron-tensor-parallel over mesh axis
+    'model' INSIDE a shard_map manual region (the pipeline stage body):
+    q/k/v projections column-sharded (each device holds num_heads/model
+    heads), attention per local head, output projection row-sharded with a
+    psum over 'model', then fc1 column-sharded / fc2 row-sharded with the
+    second psum — two ICI all-reduces per layer, the canonical Megatron
+    pattern. The automatic-partitioning equivalent lives in
+    parallel/sharding.py (pjit shardings for the dp x tp train step); this
+    manual form exists because the pipeline body is already manual
+    (shard_map + ppermute), where XLA's automatic propagation is unavailable.
+
+    Numerics match models/vit.py::vit_layer up to the float reassociation of
+    the two psums (dryrun-verified against the single-device forward).
+    """
+    from vit_pruning_tpu.models.vit import layer_norm
+
+    b, s, d = x.shape
+    hd = config.head_dim
+    h = layer_norm(x, lp["ln1"], config.layernorm_eps)
+    q = h @ lp["attn"]["q"]["w"] + lp["attn"]["q"]["b"]
+    k = h @ lp["attn"]["k"]["w"] + lp["attn"]["k"]["b"]
+    v = h @ lp["attn"]["v"]["w"] + lp["attn"]["v"]["b"]
+    hloc = q.shape[-1] // hd  # local heads on this 'model' shard
+
+    def split(t):
+        return t.reshape(b, s, hloc, hd).transpose(0, 2, 1, 3)
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k))
+    logits = logits / jnp.sqrt(hd).astype(x.dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, split(v))
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, hloc * hd)
+    # row-sharded o-proj: partial products all-reduce over 'model'; the bias
+    # is replicated, so it is added AFTER the psum (once, not model times)
+    x = x + jax.lax.psum(ctx @ lp["attn"]["o"]["w"], "model") + lp["attn"]["o"]["b"]
+    h2 = layer_norm(x, lp["ln2"], config.layernorm_eps)
+    m = jax.nn.gelu(h2 @ lp["mlp"]["fc1"]["w"] + lp["mlp"]["fc1"]["b"],
+                    approximate=False)
+    return x + jax.lax.psum(m @ lp["mlp"]["fc2"]["w"], "model") + lp["mlp"]["fc2"]["b"]
+
+
+def _pp_tp_layer_specs() -> dict:
+    """PartitionSpecs for stacked [L, ...] layer weights on a
+    ('stage','model') mesh: layer axis over 'stage', Megatron column/row
+    sharding over 'model' (column = output dim for q/k/v/fc1, row = input
+    dim for o/fc2; their biases replicate — added once after the psum)."""
+    col = {"w": P("stage", None, "model"), "b": P("stage", "model")}
+    row = {"w": P("stage", "model", None), "b": P("stage", None)}
+    ln = {"g": P("stage", None), "b": P("stage", None)}
+    return {"ln1": ln,
+            "attn": {"q": col, "k": col, "v": col, "o": row},
+            "ln2": ln,
+            "mlp": {"fc1": col, "fc2": row}}
 
 
 def pipeline_forward(
@@ -97,13 +160,25 @@ def pipeline_forward(
     # pp x dp composition: with a ('stage','data') mesh each microbatch is
     # additionally batch-sharded over 'data'; the stage hop (ppermute) and
     # the final broadcast (psum) name only 'stage', so data shards pipeline
-    # independently side by side
+    # independently side by side.
+    # pp x tp composition: with a ('stage','model') mesh each stage's layers
+    # run Megatron-sharded over 'model' (tp_vit_layer — two psums/layer over
+    # ICI); microbatches replicate over 'model'.
     has_data = "data" in mesh.axis_names
+    has_model = "model" in mesh.axis_names
     mb_spec = P(None, "data") if has_data else P()
+    if has_model:
+        n_model = mesh.shape["model"]
+        if config.num_heads % n_model or config.mlp_dim % n_model:
+            raise ValueError(
+                f"tp over 'model'={n_model} needs num_heads "
+                f"({config.num_heads}) and mlp_dim ({config.mlp_dim}) "
+                "divisible by it")
+    layers_spec = _pp_tp_layer_specs() if has_model else P("stage")
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P("stage"), mb_spec),
+        in_specs=(layers_spec, mb_spec),
         out_specs=mb_spec,
     )
     def run(local_layers, mbs):
@@ -116,7 +191,10 @@ def pipeline_forward(
 
         def stage_compute(x):
             def body(i, h):
-                return vit_layer(h, _layer_slice(local_layers, i), config,
+                lp = _layer_slice(local_layers, i)
+                if has_model:
+                    return tp_vit_layer(h, lp, config)
+                return vit_layer(h, lp, config,
                                  use_pallas=use_pallas, quant=quant)
             return jax.lax.fori_loop(0, per_stage, body, x)
 
@@ -141,13 +219,23 @@ def pipeline_forward(
         # be cast to 'varying' for shard_map's manual-axes typing
         buf0 = jax.lax.pcast(jnp.zeros((mb_local, s_len, d), mbs.dtype),
                              tuple(mesh.axis_names), to="varying")
-        # zeros_like(mbs) already varies over 'data'; add only 'stage'
-        out0 = jax.lax.pcast(jnp.zeros_like(mbs), ("stage",), to="varying")
+        # zeros_like(mbs) already varies over 'data'; add 'stage' (and
+        # 'model' — the carry becomes model-varying typed via buf)
+        out0 = jax.lax.pcast(
+            jnp.zeros_like(mbs),
+            tuple(a for a in mesh.axis_names if a != "data"), to="varying")
         _, out = jax.lax.fori_loop(0, T, step, (buf0, out0))
         # only the last stage holds real outputs; broadcast via psum of a
-        # masked contribution (out_specs=P() expects replicated values)
+        # masked contribution (out_specs=P() expects replicated values).
+        # Under tp the model shards hold identical outputs (every layer ends
+        # in a psum over 'model'), so exactly ONE shard contributes.
+        sel = stage == stages - 1
+        if has_model:
+            sel = sel & (jax.lax.axis_index("model") == 0)
+            return jax.lax.psum(
+                jnp.where(sel, out, jnp.zeros_like(out)), ("stage", "model"))
         return jax.lax.psum(
-            jnp.where(stage == stages - 1, out, jnp.zeros_like(out)), "stage"
+            jnp.where(sel, out, jnp.zeros_like(out)), "stage"
         )
 
     out = run(layers, mbs)  # [M, mb, S, D]

@@ -54,10 +54,18 @@ def total_loss_fn(
     — replaces the classification term with
     (1-w)*CE + w*KD(teacher logits); the teacher runs dense (mode='none')
     under stop_gradient.
+
+    The 'classification' phase never reads pred_loss, so its forward skips
+    the per-layer oracle dense pass entirely (oracle=False — VERDICT r3 #6:
+    the instrumented fine-tune step paid a full second forward per layer for
+    a loss term it discarded); masks still come from the predictor on the
+    static-shape training paths. Its metrics therefore carry no
+    pred_loss/confusion — eval still reports both.
     """
+    with_oracle = loss_type != "classification"
     out = pruned_vit_forward(
-        params, batch["pixel_values"], config, pcfg, train=True, rng=rng,
-        remat=remat,
+        params, batch["pixel_values"], config, pcfg, train=True,
+        oracle=with_oracle, rng=rng, remat=remat,
     )
     cls_loss = cross_entropy(out["logits"], batch["labels"])
     if distill is not None and loss_type in ("classification", "both"):
@@ -71,25 +79,28 @@ def total_loss_fn(
         cls_loss = (1.0 - w) * cls_loss + w * distillation_kl(
             out["logits"], t_logits, temp
         )
-    pred_loss = out["aux"]["pred_loss"].sum()  # Σ layer.loss (:145-148)
     if loss_type == "classification":
         total = cls_loss
-    elif loss_type == "cosine":
-        total = pred_loss
-    elif loss_type == "both":
-        total = cls_loss + COSINE_LOSS_RATIO * pred_loss
+        pred_loss = jnp.zeros(())
     else:
-        raise ValueError(f"loss_type {loss_type!r}")
+        pred_loss = out["aux"]["pred_loss"].sum()  # Σ layer.loss (:145-148)
+        if loss_type == "cosine":
+            total = pred_loss
+        elif loss_type == "both":
+            total = cls_loss + COSINE_LOSS_RATIO * pred_loss
+        else:
+            raise ValueError(f"loss_type {loss_type!r}")
     metrics = {
         "loss": total,
         "cls_loss": cls_loss,
         "pred_loss": pred_loss,
         "accuracy": jnp.mean((out["logits"].argmax(-1) == batch["labels"]).astype(jnp.float32)),
+    }
+    if with_oracle:
         # per-layer predictor-vs-oracle confusion counts, feeding the M19
         # per-predictor running accuracy tracker (mukunda/deit.py:183-229).
         # COUNTS, not a mean — listed in SUM_METRICS for grad accumulation.
-        "confusion": out["aux"]["confusion"],
-    }
+        metrics["confusion"] = out["aux"]["confusion"]
     return total, metrics
 
 
@@ -102,9 +113,14 @@ def make_train_step(
     remat: bool = False,
     distill=None,
     accum_steps: int = 1,
+    detach_cosine: Optional[bool] = None,
 ) -> Callable:
     """One jitted optimization step: (params, opt_state, batch, rng) ->
     (params, opt_state, metrics).
+
+    detach_cosine: force the detached-trajectory predictor phase on/off
+    (None = automatic — on for eligible 'cosine' configs; see the comment at
+    the fast path below). The equivalence test pins both settings.
 
     compute_dtype (e.g. jnp.bfloat16) runs the forward/backward in reduced
     precision while params, gradients, and optimizer state stay float32
@@ -131,6 +147,97 @@ def make_train_step(
                              remat=remat, distill=distill)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    # Detached-trajectory predictor phase (VERDICT r3 #6; reference anchor:
+    # M19 trains its predictors on DETACHED inputs, mukunda/deit.py:158-231).
+    # In the 'cosine' phase only predictor params receive updates, and they
+    # reach the loss ONLY through each layer's scores — the encoder
+    # trajectory is constant w.r.t. them (masks are boolean thresholds, and
+    # oracle targets are stop-gradient'd). So: run the instrumented forward
+    # ONCE with no AD, cache each layer's input and training target, then
+    # differentiate just the per-layer score computation — the backward pass
+    # through every (masked + dense-oracle) layer pair disappears. Gradients
+    # are identical (tests/test_harness.py detached-equivalence test).
+    # Excluded: predictors whose params feed the trajectory differentiably
+    # (bottleneck's approximation, updatenet's residual), neighbor averaging
+    # (scores are computed on the averaged input, which the cached inputs
+    # are not), and grad accumulation (the generic scan path handles it).
+    detached_cosine = (
+        loss_type == "cosine"
+        and accum_steps == 1
+        and pcfg.predictor in ("cls_mlp", "token_mlp", "common_mlp",
+                               "compressor", "shared_compressor", "cnn",
+                               "key_mlp")
+        and pcfg.skip_correction != "updatenet"
+        and pcfg.avg_threshold == 0.0
+    ) if detach_cosine is None else detach_cosine
+    if detached_cosine:
+        from vit_pruning_tpu.models.predictors import apply_predictor
+        from vit_pruning_tpu.models.pruned_vit import _is_active, _layer_slice
+        from vit_pruning_tpu.train.losses import (
+            focal_loss,
+            mse_attention_loss,
+            mse_cosine_loss,
+            weighted_bce_oracle,
+        )
+
+        def layer_target(aux, i):
+            if pcfg.loss == "bce_oracle":
+                return aux["oracle_keep"][i], weighted_bce_oracle
+            if pcfg.loss == "focal":
+                return aux["oracle_keep"][i], lambda s, t: focal_loss(
+                    s, t, alpha=pcfg.focal_alpha, gamma=pcfg.focal_gamma)
+            if pcfg.loss == "mse_attention":
+                return aux["attn_target"][i], mse_attention_loss
+            return aux["cos_target"][i], mse_cosine_loss
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def detached_step(params, opt_state, batch, rng):
+            p_fwd = params
+            if compute_dtype is not None:
+                p_fwd = jax.tree.map(lambda a: a.astype(compute_dtype), params)
+                pv = batch["pixel_values"].astype(compute_dtype)
+            else:
+                pv = batch["pixel_values"]
+            out = jax.lax.stop_gradient(pruned_vit_forward(
+                p_fwd, pv, config, pcfg, train=True, rng=rng,
+                return_layer_inputs=True,
+            ))
+            xs, aux = out["layer_inputs"], out["aux"]
+
+            def pred_loss_fn(pred_params):
+                pp = pred_params
+                if compute_dtype is not None:
+                    pp = jax.tree.map(lambda a: a.astype(compute_dtype), pp)
+                total = jnp.zeros(())
+                for i in range(config.num_layers):
+                    if not _is_active(pcfg, i):
+                        continue
+                    lp = _layer_slice(p_fwd["backbone"]["layers"], i)
+                    scores, _ = apply_predictor(pp, i, xs[i], config, pcfg,
+                                                layer_params=lp)
+                    target, fn = layer_target(aux, i)
+                    total = total + fn(scores, target)
+                return total
+
+            pred_total, pred_grads = jax.value_and_grad(pred_loss_fn)(
+                params["predictor"])
+            grads = jax.tree.map(jnp.zeros_like, params)
+            grads["predictor"] = pred_grads
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = {
+                "loss": pred_total,
+                "cls_loss": cross_entropy(out["logits"], batch["labels"]),
+                "pred_loss": pred_total,
+                "accuracy": jnp.mean(
+                    (out["logits"].argmax(-1) == batch["labels"]).astype(
+                        jnp.float32)),
+                "confusion": aux["confusion"],
+            }
+            return params, opt_state, metrics
+
+        return detached_step
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng):

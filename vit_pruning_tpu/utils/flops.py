@@ -17,13 +17,20 @@ from vit_pruning_tpu.configs import PruneConfig, ViTConfig
 
 def _layer_flops(config: ViTConfig, tokens: float, kv_tokens: Optional[float] = None) -> float:
     """One encoder layer with `tokens` query tokens attending over
-    `kv_tokens` keys (defaults to tokens)."""
+    `kv_tokens` keys (defaults to tokens).
+
+    Uses config.attn_width (== hidden unless heads were physically pruned by
+    ops/structured.py::prune_heads) and config.mlp_dim, so structurally
+    pruned geometries are accounted correctly — callers holding
+    channel-pruned params must pass a config with the halved mlp_dim
+    (prune_mlp_channels changes weights, not the config)."""
     d = config.hidden_size
+    aw = config.attn_width
     m = config.mlp_dim
     kv = tokens if kv_tokens is None else kv_tokens
-    qkv = 3 * 2 * tokens * d * d          # fused QKV projection
-    attn = 2 * tokens * kv * d * 2        # QK^T and PV
-    out = 2 * tokens * d * d              # output projection
+    qkv = 3 * 2 * tokens * d * aw         # fused QKV projection
+    attn = 2 * tokens * kv * aw * 2       # QK^T and PV
+    out = 2 * tokens * aw * d             # output projection
     mlp = 2 * tokens * d * m * 2          # fc1 + fc2
     return qkv + attn + out + mlp
 
@@ -71,7 +78,13 @@ def pruned_vit_flops(
     """
     s = config.seq_len
     if tokens_per_layer is None:
-        if pcfg.mode in ("topk", "random"):
+        if pcfg.mode == "topk_prog":
+            from vit_pruning_tpu.configs import schedule_live
+
+            sched = pcfg.keep_schedule or tuple(
+                [pcfg.top_k] + [0] * (config.num_layers - 1))
+            tokens_per_layer = schedule_live(sched, config.num_patches)
+        elif pcfg.mode in ("topk", "random"):
             tokens_per_layer = [pcfg.top_k + 1] * config.num_layers
         else:
             tokens_per_layer = [s] * config.num_layers
