@@ -138,3 +138,57 @@ def test_ultra_schedule_geometry():
     # "no drop" to the scheduler and silently change semantics)
     s3 = ultra_schedule(10, 8)
     assert len(s3) == 8 and all(v >= 1 for v in s3)
+
+def test_token50_schedules_mean_live_and_pin():
+    """Every token50 candidate is a PURE token-skip schedule whose mean
+    live-patch count over the encoder is num_patches/2 (up to integer
+    rounding); the pinned token50_schedule is the measured sweep winner
+    (uniform — token50_sweep.json) and must stay among the candidates."""
+    from vit_pruning_tpu.configs import (
+        schedule_live, token50_schedule, token50_schedules)
+
+    for n, L in ((196, 12), (196, 24), (64, 6)):
+        cands = token50_schedules(n, L)
+        assert "uniform" in cands
+        for name, s in cands.items():
+            assert len(s) == L
+            live = [v - 1 for v in schedule_live(s, n)]  # exclude CLS
+            mean = sum(live) / len(live)
+            assert abs(mean - n / 2) <= 2, (name, mean)
+            # monotone: progressive compaction never re-adds tokens
+            assert all(a >= b for a, b in zip(live, live[1:])), name
+        assert token50_schedule(n, L) == cands["uniform"]
+        assert cands["uniform"] == tuple([n // 2] + [0] * (L - 1))
+
+
+def test_live_to_schedule_drops_only():
+    """_live_to_schedule emits a drop entry only when the target shrinks;
+    equal-or-larger targets become 0 (no-drop) entries."""
+    from vit_pruning_tpu.configs import _live_to_schedule, schedule_live
+
+    s = _live_to_schedule([196, 147, 147, 98, 98, 120], 196)
+    assert s == (0, 147, 0, 98, 0, 0)
+    assert schedule_live(s, 196) == (197, 148, 148, 99, 99, 99)
+
+
+def test_pruned_vit_flops_topk_prog_uses_schedule():
+    """topk_prog FLOPs follow the keep_schedule's live counts (the bench
+    MFU fields divide throughput by exactly this); a schedule-free topk_prog
+    config degrades to a single layer-0 drop to top_k."""
+    from vit_pruning_tpu.configs import PruneConfig, ViTConfig, schedule_live
+    from vit_pruning_tpu.utils.flops import pruned_vit_flops
+
+    cfg = ViTConfig(image_size=32, patch_size=4, hidden_size=64, num_layers=4,
+                    num_heads=4, mlp_dim=128, num_labels=10)
+    sched = (32, 0, 16, 0)
+    pc = PruneConfig(mode="topk_prog", predictor="cls_mlp", top_k=32,
+                     keep_schedule=sched)
+    want = pruned_vit_flops(
+        cfg, pc, tokens_per_layer=schedule_live(sched, cfg.num_patches))
+    assert pruned_vit_flops(cfg, pc) == want
+    pc_flat = PruneConfig(mode="topk_prog", predictor="cls_mlp", top_k=32)
+    flat = pruned_vit_flops(cfg, pc_flat)
+    assert flat == pruned_vit_flops(
+        cfg, pc_flat, tokens_per_layer=[33] * cfg.num_layers)
+    # deeper schedule => strictly fewer FLOPs
+    assert pruned_vit_flops(cfg, pc) < flat
