@@ -57,6 +57,7 @@ from vit_pruning_tpu.configs import PruneConfig, ViTConfig
 from vit_pruning_tpu.data.datasets import (
     DeviceBatches,
     load_cifar100,
+    synthetic_distributed_dataset,
     synthetic_localized_dataset,
 )
 from vit_pruning_tpu.models.pruned_vit import (
@@ -71,22 +72,26 @@ def log(*a):
 
 
 def _cached_synthetic(n, image_size, num_labels, *, seed, label_noise,
-                      signal_patches, cell):
-    """Disk-cached synthetic_localized_dataset. The 224-scale build is pure
-    host numpy (~6 min for the 8192-image train split) and fully determined
-    by its arguments, so caching is byte-exact; it keeps scarce TPU wall time
-    for the actual train/eval. Cache lives in /tmp (ephemeral by design)."""
+                      signal_patches, cell, task="localized"):
+    """Disk-cached synthetic_{localized,distributed}_dataset. The 224-scale
+    build is pure host numpy (~6 min for the 8192-image train split) and
+    fully determined by its arguments, so caching is byte-exact; it keeps
+    scarce TPU wall time for the actual train/eval. Cache lives in /tmp
+    (ephemeral by design)."""
     import hashlib
 
+    suffix = "" if task == "localized" else f":{task}"  # keep v1 keys valid
     key = hashlib.sha1(
         f"v1:{n}:{image_size}:{num_labels}:{seed}:{label_noise}:"
-        f"{signal_patches}:{cell}".encode()
+        f"{signal_patches}:{cell}{suffix}".encode()
     ).hexdigest()[:16]
-    path = f"/tmp/synth_localized_{key}.npz"
+    path = f"/tmp/synth_{task}_{key}.npz"
     if os.path.exists(path):
         with np.load(path) as z:
             return z["images"], z["labels"]
-    images, labels = synthetic_localized_dataset(
+    gen = (synthetic_distributed_dataset if task == "distributed"
+           else synthetic_localized_dataset)
+    images, labels = gen(
         n, image_size, num_labels, seed=seed, label_noise=label_noise,
         signal_patches=signal_patches, cell=cell,
     )
@@ -129,17 +134,19 @@ def build_task(args):
         # evidence) is scale-invariant; at the gate default (patch 4, 64
         # patches) these resolve to the round-2 values (cell=4, 8 cells)
         cell = config.patch_size
-        signal = (getattr(args, "signal_patches", None)
-                  or max(8, config.num_patches // 8))
+        task = getattr(args, "task", "localized")
+        default_signal = (8 if task == "distributed"
+                          else max(8, config.num_patches // 8))
+        signal = getattr(args, "signal_patches", None) or default_signal
         tr = _cached_synthetic(
             args.train_size, config.image_size, config.num_labels,
             seed=0, label_noise=args.label_noise,
-            signal_patches=signal, cell=cell,
+            signal_patches=signal, cell=cell, task=task,
         )
         te = _cached_synthetic(
             args.test_size, config.image_size, config.num_labels,
             seed=1, label_noise=args.label_noise,
-            signal_patches=signal, cell=cell,
+            signal_patches=signal, cell=cell, task=task,
         )
     # device-resident batches: on the axon relay, re-uploading each batch
     # over the socket tunnel costs ~10x the train step at 224 scale
@@ -614,8 +621,17 @@ def main(argv=None):
     ap.add_argument("--signal_patches", type=int, default=None,
                     help="synthetic-task hardness override: number of patch "
                     "cells carrying class evidence (default: "
-                    "max(8, num_patches//8)); shrink it to make the margin "
-                    "sweep bite earlier")
+                    "max(8, num_patches//8) localized, 8 distributed); "
+                    "shrink it to make the margin sweep bite earlier")
+    ap.add_argument("--task", choices=["localized", "distributed"],
+                    default="localized",
+                    help="synthetic gate task: 'localized' (class-unique "
+                    "patterns — single-cell separable, so the depth sweep "
+                    "measures 0.0 delta through 98%% skip) or 'distributed' "
+                    "(class = a codeword across shared evidence cells — "
+                    "needs ~log2(C) cells kept through the drop layer, so "
+                    "deep budgets genuinely lose information and the margin "
+                    "sweep locates the breaking point)")
     ap.add_argument("--margin_sweep", action="store_true",
                     help="after the headline preset, serve its trained "
                     "weights through progressively deeper schedules until "
@@ -867,7 +883,8 @@ def main(argv=None):
 
     results = {"dense_top1": round(dense_acc, 4),
                "dense_top1_int8": round(dense_acc_i8, 4),
-               "dataset": "cifar100" if args.data_path else "synthetic_localized",
+               "dataset": ("cifar100" if args.data_path
+                           else f"synthetic_{getattr(args, 'task', 'localized')}"),
                "gate_model": args.gate_model,
                "image_size": config.image_size,
                "gate_max_drop": args.max_drop, "presets": {}}

@@ -194,3 +194,67 @@ def test_prefetch_batches_abandoned_iterator_releases_worker():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() == before, "prefetch worker did not exit"
+
+
+def test_distributed_dataset_codeword_structure():
+    """synthetic_distributed_dataset: class = a codeword over shared evidence
+    cells, so single cells must be ambiguous (the property that lets the
+    quality gate's margin sweep fail at deep budgets — VERDICT r3 #2)."""
+    from vit_pruning_tpu.data.datasets import synthetic_distributed_dataset
+
+    kw = dict(image_size=32, num_labels=64, seed=0, cell=4,
+              signal_patches=8, vocab=2, label_noise=0.0)
+    imgs, labels = synthetic_distributed_dataset(48, **kw)
+    assert imgs.shape == (48, 32, 32, 3) and imgs.dtype == np.uint8
+    i2, l2 = synthetic_distributed_dataset(48, **kw)
+    np.testing.assert_array_equal(imgs, i2)
+    np.testing.assert_array_equal(labels, l2)
+
+    # evidence cells sit at the SAME positions for every class: variance
+    # across images of the same class is ~zero inside evidence cells only
+    # after removing the smooth background; instead verify cross-class
+    # ambiguity at single cells — two images of different classes whose
+    # evidence content agrees at >=1 shared cell position must exist
+    # (vocab=2 over 64 classes guarantees heavy symbol sharing per cell).
+    g = 32 // 4
+    # recover the shared cell positions + per-class codes the generator used
+    proto = np.random.RandomState(1234)
+    cells = proto.choice(g * g, size=8, replace=False)
+    proto.rand(8, 2, 4, 4, 3)  # advance past the pattern bank draw
+    chosen = proto.choice(2 ** 8, size=64, replace=False)
+    codes = np.stack(np.unravel_index(chosen, [2] * 8), axis=1)
+    assert len({tuple(c) for c in map(tuple, codes)}) == 64  # injective
+    # every cell's symbol is shared by many classes -> no cell identifies one
+    for p in range(8):
+        for v in range(2):
+            assert (codes[:, p] == v).sum() > 1
+
+    # too many classes for the codebook must raise
+    with pytest.raises(ValueError):
+        synthetic_distributed_dataset(8, num_labels=300, vocab=2,
+                                      signal_patches=8)
+
+
+def test_quality_build_task_distributed_routing():
+    """quality.py --task distributed must build the codeword dataset (cached
+    under a distinct key) and default to 8 evidence cells at any scale."""
+    import argparse
+
+    from quality import build_task
+    from vit_pruning_tpu.data.datasets import synthetic_distributed_dataset
+
+    base = dict(gate_model="gate", image_size=32, data_path=None,
+                train_size=32, test_size=32, batch=16, label_noise=0.1,
+                signal_patches=None)
+    cfg, _, test_b = build_task(argparse.Namespace(task="distributed", **base))
+    want_x, want_y = synthetic_distributed_dataset(
+        32, image_size=32, num_labels=cfg.num_labels, seed=1,
+        label_noise=0.1, signal_patches=8, cell=cfg.patch_size)
+    # the (unshuffled) test batcher preprocesses identically for both paths;
+    # pushing the raw generator output through the same batcher class proves
+    # build_task routed to the distributed generator
+    got = np.concatenate([np.asarray(b["pixel_values"]) for b in
+                          test_b.__class__(want_x, want_y, batch_size=16,
+                                           image_size=32)])
+    raw = np.concatenate([np.asarray(b["pixel_values"]) for b in test_b])
+    np.testing.assert_array_equal(raw, got)

@@ -195,6 +195,76 @@ def synthetic_localized_dataset(
     return (images * 255).astype(np.uint8), labels
 
 
+def synthetic_distributed_dataset(
+    n: int,
+    image_size: int = 32,
+    num_labels: int = 128,
+    seed: int = 0,
+    class_seed: int = 1234,
+    label_noise: float = 0.1,
+    signal_patches: int = 8,
+    cell: int = 4,
+    vocab: int = 2,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """The DISTRIBUTED-evidence counterpart of `synthetic_localized_dataset`
+    — built so a depth sweep of the accuracy gate can actually fail.
+
+    In the localized task every (class, cell) pattern is unique, so ONE kept
+    evidence patch identifies the class and the delta gate measures 0.0 at
+    every budget (quality_results.json::deit_small_224.gate_margin,
+    gate_can_fail=false through 98% skip — measured). Here the class is a
+    CODEWORD: all classes share the same `signal_patches` cell positions and
+    each cell shows one of `vocab` cell-specific patterns; the class is the
+    combination (an injective map class -> vocab^P). A single cell narrows
+    the label to ~num_labels/vocab candidates, so identification needs
+    ~log(num_labels)/log(vocab) cells kept THROUGH the drop layer — token
+    budgets below that integration threshold lose real information no
+    predictor can recover, which is what deep skipping costs on natural
+    images (the reference never charges for this because its datasets are
+    object-centric; cf. the ImageNet 82.45->80.16 drop it ships,
+    BASELINE.md). Default vocab=2, P=8: needs ~7 of 8 evidence cells —
+    the gate fails between top_k=9 and top_k=6 at DeiT-S/224 geometry.
+
+    Same smooth background + irreducible label noise as the localized task
+    (the oracle-similarity structure predictors train on is unchanged).
+    """
+    if num_labels > vocab ** signal_patches:
+        raise ValueError(
+            f"{num_labels} classes need > vocab**signal_patches "
+            f"({vocab}**{signal_patches}) codewords")
+    rng = np.random.RandomState(seed)
+    proto = np.random.RandomState(class_seed)
+    g = image_size // cell
+    # shared evidence positions; per-cell pattern banks; injective codewords
+    cells = proto.choice(g * g, size=signal_patches, replace=False)  # [P]
+    bank = proto.rand(signal_patches, vocab, cell, cell, 3)  # [P, V, c, c, 3]
+    chosen = proto.choice(vocab ** signal_patches, size=num_labels,
+                          replace=False)
+    codes = np.stack(
+        np.unravel_index(chosen, [vocab] * signal_patches), axis=1
+    )  # [C, P] in [0, vocab)
+
+    true_labels = rng.randint(0, num_labels, n).astype(np.int32)
+    yy = np.linspace(0.0, 1.0, image_size, dtype=np.float32)[None, :, None, None]
+    xx = np.linspace(0.0, 1.0, image_size, dtype=np.float32)[None, None, :, None]
+    c00, c01, c10, c11 = (rng.rand(4, n, 1, 1, 3).astype(np.float32) * 0.8)
+    images = ((1 - yy) * (1 - xx) * c00 + (1 - yy) * xx * c01
+              + yy * (1 - xx) * c10 + yy * xx * c11
+              + 0.05 * rng.rand(n, image_size, image_size, 3)).astype(np.float32)
+    for i in range(n):
+        code = codes[true_labels[i]]
+        for p in range(signal_patches):
+            r, q = divmod(int(cells[p]), g)
+            images[i, r * cell:(r + 1) * cell, q * cell:(q + 1) * cell] = (
+                0.25 * images[i, r * cell:(r + 1) * cell, q * cell:(q + 1) * cell]
+                + 0.75 * bank[p, code[p]]
+            )
+    labels = true_labels.copy()
+    flip = rng.rand(n) < label_noise
+    labels[flip] = rng.randint(0, num_labels, int(flip.sum())).astype(np.int32)
+    return (images * 255).astype(np.uint8), labels
+
+
 def synthetic_dataset(
     n: int = 256,
     image_size: int = 32,
