@@ -116,13 +116,15 @@ def build_task(args):
 
         factory = {"deit_small": deit_small, "deit_base": deit_base,
                    "vit_large": vit_large}
-        config = factory[args.gate_model](num_labels=128).replace(
+        labels = getattr(args, "num_labels", None) or 128
+        config = factory[args.gate_model](num_labels=labels).replace(
             image_size=args.image_size or 224
         )
     else:
         config = ViTConfig(
             image_size=args.image_size or 32, patch_size=4, hidden_size=128,
-            num_layers=6, num_heads=4, mlp_dim=256, num_labels=128,
+            num_layers=6, num_heads=4, mlp_dim=256,
+            num_labels=getattr(args, "num_labels", None) or 128,
         )  # 64 patches; big enough for pruning to matter, small enough to train fast
     if args.data_path:
         config = config.replace(num_labels=100)
@@ -623,6 +625,15 @@ def main(argv=None):
                     "cells carrying class evidence (default: "
                     "max(8, num_patches//8) localized, 8 distributed); "
                     "shrink it to make the margin sweep bite earlier")
+    ap.add_argument("--num_labels", type=int, default=None,
+                    help="synthetic-task class-count override (default 128). "
+                    "For --task distributed this sets the integration "
+                    "threshold: identifying one of C classes needs "
+                    "~log2(C)/log2(vocab) evidence cells kept through the "
+                    "drop layer — and bounds learnability (train_size/C "
+                    "samples per class); 128 classes at the default 8192 "
+                    "train images measured 7% dense top-1 after 10 epochs "
+                    "(unlearnable at this budget), 16 classes converge")
     ap.add_argument("--task", choices=["localized", "distributed"],
                     default="localized",
                     help="synthetic gate task: 'localized' (class-unique "
