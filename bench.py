@@ -158,9 +158,23 @@ def main():
                          "config, VERDICT r3 #1) against the same-run dense; "
                          "matrix to stderr + token50_sweep.json, best-"
                          "candidate JSON on stdout")
+    ap.add_argument("--bs_sweep", action="store_true",
+                    help="batch-size throughput sweep at --model: {dense, "
+                         "50%% token skip, composed, ultra} x --bs_list — "
+                         "the high-skip presets leave per-batch fixed costs "
+                         "(embed, compaction, classifier, relay dispatch) "
+                         "unamortized at bs512; this finds the max-"
+                         "throughput serving batch. matrix to stderr + "
+                         "bs_sweep.json, best-ultra JSON on stdout")
+    ap.add_argument("--bs_list", default="512,1024,2048",
+                    help="comma-separated batch sizes for --bs_sweep")
     ap.add_argument("--full", action="store_true",
-                    help="sweep DeiT-T/S x {0,25,50}%% skip (SURVEY §7 step 8); "
+                    help="sweep --full_models x {0,25,50}%% skip + "
+                         "{composed, ultra} (SURVEY §7 step 8); "
                          "matrix to stderr + bench_full.json, headline JSON on stdout")
+    ap.add_argument("--full_models",
+                    default="deit_tiny,deit_small,deit_base,vit_large,vit_huge",
+                    help="comma-separated model list for --full")
     args = ap.parse_args()
 
     try:
@@ -176,6 +190,7 @@ def main():
         deit_base,
         deit_small,
         deit_tiny,
+        vit_huge,
         vit_large,
     )
     from vit_pruning_tpu.models.pruned_vit import (
@@ -189,18 +204,21 @@ def main():
     set_kernel_mode(args.kernels)
 
     models = {"deit_tiny": deit_tiny, "deit_small": deit_small,
-              "deit_base": deit_base, "vit_large": vit_large}
+              "deit_base": deit_base, "vit_large": vit_large,
+              "vit_huge": vit_huge}
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     def measure(model_name: str, skip: float, mode: str,
-                composed: bool = False, preset: str = "composed") -> dict:
+                composed: bool = False, preset: str = "composed",
+                batch: int = 0) -> dict:
+        batch = batch or args.batch
         config = models[model_name](num_labels=100)
         n = config.num_patches
         params0 = init_pruned_vit_params(
             jax.random.PRNGKey(0), config,
             PruneConfig(mode="mask", predictor="cls_mlp"),
         )
-        xb = jax.random.normal(jax.random.PRNGKey(1), (args.batch, 3, 224, 224), dtype)
+        xb = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, 224, 224), dtype)
         if composed:
             from vit_pruning_tpu.configs import (
                 composed_schedule, schedule_live, ultra_schedule)
@@ -223,9 +241,9 @@ def main():
                 args.inner)
             t = timeit(fn, (params0, xb), args.iters) / args.inner
             live = [v - 1 for v in schedule_live(csched, n)]
-            ips = args.batch / t
+            ips = batch / t
             return {"model": model_name, "skip": round(1.0 - sum(live) / len(live) / n, 4),
-                    "mode": preset,
+                    "mode": preset, "batch": batch,
                     "img_per_sec_chip": round(ips, 1),
                     "ms_per_batch": round(t * 1e3, 2),
                     **mfu_fields("", ips,
@@ -250,18 +268,19 @@ def main():
                 f = lambda p, v: pruned_vit_forward(p, v, config, pc, rng=rng_)["logits"]
             fn = amortized(f, args.inner)
             t = timeit(fn, (params0, xb), args.iters) / args.inner
-        ips = args.batch / t
+        ips = batch / t
         return {"model": model_name, "skip": skip, "mode": mode if skip > 0 else "dense",
+                "batch": batch,
                 "img_per_sec_chip": round(ips, 1), "ms_per_batch": round(t * 1e3, 2),
                 **mfu_fields("", ips, flops_per_image(config, pc), args.dtype)}
 
     if args.full:
         import itertools
 
-        # T/S/B/L x {dense, 25, 50, composed, ultra} in ONE command (VERDICT
-        # r3 #5: the ViT-L scaling rows must come out of the documented
+        # T/S/B/L/H x {dense, 25, 50, composed, ultra} in ONE command
+        # (VERDICT r3 #5: the scaling rows must come out of the documented
         # matrix command, not hand-run singles)
-        full_models = ["deit_tiny", "deit_small", "deit_base", "vit_large"]
+        full_models = [m for m in args.full_models.split(",") if m]
         rows = []
         for mname, skip in itertools.product(full_models, [0.0, 0.25, 0.5]):
             row = measure(mname, skip, args.mode)
@@ -281,6 +300,42 @@ def main():
             "value": half["img_per_sec_chip"],
             "unit": "img/s/chip",
             "vs_baseline": round(half["img_per_sec_chip"] / dense["img_per_sec_chip"], 3),
+        }))
+        return
+
+    if args.bs_sweep:
+        # throughput-vs-batch for the serving presets. The per-batch fixed
+        # costs (conv embed, compaction matmuls, classifier, and the relay's
+        # dispatch share) are a far larger FRACTION of an ultra batch
+        # (6.3 ms at bs512) than of a dense one (35.5 ms), so the presets'
+        # max-throughput batch sits above the headline bs512; this measures
+        # where, per model. Rows reuse measure(), so MFU fields come along.
+        bs_list = [int(v) for v in args.bs_list.split(",")]
+        sweep_cfgs = [("dense", dict(skip=0.0)),
+                      ("pruned50", dict(skip=0.5)),
+                      ("composed", dict(skip=0.0, composed=True,
+                                        preset="composed")),
+                      ("ultra", dict(skip=0.0, composed=True,
+                                     preset="ultra"))]
+        rows = []
+        for b in bs_list:
+            for tag, kw in sweep_cfgs:
+                row = measure(args.model, mode=args.mode, batch=b, **kw)
+                row["config"] = tag
+                rows.append(row)
+                log(row)
+        with open("bs_sweep.json", "w") as fh:
+            json.dump({"model": args.model, "dtype": args.dtype,
+                       "inner": args.inner, "rows": rows}, fh, indent=1)
+        best = max((r for r in rows if r["config"] == "ultra"),
+                   key=lambda r: r["img_per_sec_chip"])
+        dense_same_b = next(r for r in rows if r["config"] == "dense"
+                            and r["batch"] == best["batch"])
+        print(json.dumps({
+            "metric": f"{args.model}_ultra_best_batch{best['batch']}",
+            "value": best["img_per_sec_chip"], "unit": "img/s/chip",
+            "vs_baseline": round(best["img_per_sec_chip"]
+                                 / dense_same_b["img_per_sec_chip"], 3),
         }))
         return
 

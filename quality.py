@@ -112,10 +112,11 @@ def build_task(args):
         # bench scale (VERDICT r2 #1): the EXACT geometry bench.py measures —
         # DeiT-S/B and ViT-L @224 — so the accuracy gates and the composed
         # throughput claims attach to the same model
-        from vit_pruning_tpu.configs import deit_base, deit_small, vit_large
+        from vit_pruning_tpu.configs import (
+            deit_base, deit_small, vit_huge, vit_large)
 
         factory = {"deit_small": deit_small, "deit_base": deit_base,
-                   "vit_large": vit_large}
+                   "vit_large": vit_large, "vit_huge": vit_huge}
         labels = getattr(args, "num_labels", None) or 128
         config = factory[args.gate_model](num_labels=labels).replace(
             image_size=args.image_size or 224
@@ -669,11 +670,12 @@ def main(argv=None):
     ap.add_argument("--sim_threshold", type=float, default=0.9)
     ap.add_argument("--data_path", default=None, help="CIFAR-100 dir (else synthetic)")
     ap.add_argument("--gate_model",
-                    choices=["gate", "deit_small", "deit_base", "vit_large"],
+                    choices=["gate", "deit_small", "deit_base", "vit_large",
+                             "vit_huge"],
                     default="gate",
                     help="'gate' = the fast 32x32 gate model; 'deit_small'/"
-                    "'deit_base'/'vit_large' = the exact @224 geometries "
-                    "bench.py measures (VERDICT r2 #1)")
+                    "'deit_base'/'vit_large'/'vit_huge' = the exact @224 "
+                    "geometries bench.py measures (VERDICT r2 #1)")
     ap.add_argument("--image_size", type=int, default=None,
                     help="input resolution (default: 32 for gate, 224 for "
                     "deit_small)")

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from vit_pruning_tpu.configs import deit_small, vit_large
+from vit_pruning_tpu.configs import deit_small, vit_huge, vit_large
 from vit_pruning_tpu.models.vit import embed, init_vit_params, layer_norm, vit_layer
 from vit_pruning_tpu.ops.pallas.layer import (
     fused_vit_layer,
@@ -163,6 +163,11 @@ def main():
     # tail length at L, S=197 the dense length
     ok &= run_width("vit_l", vit_large(num_labels=100), max(4, args.batch // 4),
                     (33, 197))
+    # ViT-H width: head_dim 80 is the only non-power-of-two head width the
+    # bench serves, and seq 257 the only non-DeiT grid — both must clear the
+    # real Mosaic toolchain, not just interpret mode
+    ok &= run_width("vit_h", vit_huge(num_labels=100), max(4, args.batch // 4),
+                    (33, 257))
     ok &= run_embeds(deit_small(num_labels=100), args.batch)
 
     artifact = {

@@ -421,6 +421,27 @@ def test_staged2_and_cls_epilogue_at_vit_large_width():
                                atol=2e-5, rtol=1e-4)
 
 
+def test_staged2_at_vit_huge_head_dim():
+    """ViT-H/14 (bench.py --model vit_huge) is the only preset with a
+    non-power-of-two head width (1280/16 = 80): parity-check the fused
+    layer at that head geometry so the 80-lane attention reshapes are
+    covered, not assumed."""
+    from vit_pruning_tpu.configs import vit_huge
+    from vit_pruning_tpu.models.vit import init_vit_params, vit_layer
+    from vit_pruning_tpu.ops.pallas.layer import fused_vit_layer
+
+    cfg = vit_huge(num_labels=100).replace(num_layers=1)
+    assert cfg.head_dim == 80
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 33, cfg.hidden_size))
+
+    ref = vit_layer(x, lp, cfg, use_pallas=False, quant="none")
+    got = fused_vit_layer(x, lp, cfg.num_heads, eps=cfg.layernorm_eps,
+                          interpret=True, attn_impl="staged2")
+    assert np.abs(np.asarray(got - ref)).max() < 2e-5
+
+
 def test_patch_embed_conv_impl_matches_matmul():
     """The TPU strided-conv embed formulation == the matmul reference
     (scripts/embed_probe.py: conv halves the embed's batch cost)."""

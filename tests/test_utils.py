@@ -122,6 +122,28 @@ def test_vit_large_config_geometry():
     assert all(a >= b for a, b in zip(live, live[1:]))
 
 
+def test_vit_huge_config_geometry():
+    """ViT-H/14 bench row: published geometry (1280/32/16/5120, patch 14 ->
+    256 patches, seq 257) and valid 32-layer composed/ultra schedules —
+    guards the bench.py --model vit_huge wiring. head_dim is 80 (the only
+    preset whose head width is not a power of two; the Pallas width parity
+    test covers the kernels at that shape)."""
+    from vit_pruning_tpu.configs import (
+        composed_schedule, schedule_live, ultra_schedule, vit_huge)
+
+    c = vit_huge(num_labels=100)
+    assert (c.hidden_size, c.num_layers, c.num_heads, c.mlp_dim) == (
+        1280, 32, 16, 5120)
+    assert c.image_size == 224 and c.patch_size == 14
+    assert c.num_patches == 256 and c.seq_len == 257 and c.head_dim == 80
+    for sched_fn in (composed_schedule, ultra_schedule):
+        s = sched_fn(c.num_patches, c.num_layers)
+        assert len(s) == 32 and all(v >= 0 for v in s) and s[0] > 0
+        live = schedule_live(s, c.num_patches)
+        assert all(a >= b for a, b in zip(live, live[1:]))
+        assert live[-1] >= 2  # CLS + at least one patch survives
+
+
 def test_ultra_schedule_geometry():
     """ultra_schedule roughly halves composed's live counts at every depth,
     never emits zero keeps, and stays monotone."""

@@ -25,6 +25,7 @@ from vit_pruning_tpu.configs import (
     deit_small,
     deit_tiny,
     vit_base_patch16_224,
+    vit_huge,
     vit_large,
     vit_tiny,
 )
@@ -41,6 +42,7 @@ MODELS = {
     "deit_small": deit_small,
     "deit_base": deit_base,
     "vit_large": vit_large,
+    "vit_huge": vit_huge,
     "vit_tiny": vit_tiny,
 }
 

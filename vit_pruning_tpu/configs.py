@@ -114,6 +114,19 @@ def vit_large(num_labels: int = 1000) -> ViTConfig:
     )
 
 
+def vit_huge(num_labels: int = 1000) -> ViTConfig:
+    """ViT-H/14 @224 (632M params). The largest standard ViT that fits one
+    v5e chip in bf16 (1.26 GB weights); patch 14 -> 16x16 = 256 patches,
+    seq 257 (the kernels pad any sequence to a multiple of 8, so the
+    non-DeiT grid needs no new code). Like vit_large, beyond the
+    reference's largest model (ViT-B) — extends the composed/ultra
+    scaling rows one more octave."""
+    return ViTConfig(
+        patch_size=14, hidden_size=1280, num_layers=32, num_heads=16,
+        mlp_dim=5120, num_labels=num_labels,
+    )
+
+
 def vit_tiny(num_labels: int = 10) -> ViTConfig:
     """A tiny CPU-testable config (not a published model)."""
     return ViTConfig(
