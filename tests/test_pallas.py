@@ -501,5 +501,7 @@ def test_auto_block_b_calibration():
     assert _auto_block_b(128, 1024, 4) == 2  # vit_large f32
     for d in (384, 768, 1024):               # bf16 benches: unchanged
         assert _auto_block_b(512, d, 2) == 8
+    assert _auto_block_b(512, 1280, 2) == 4  # vit_huge bf16 (164M>128M at 8)
+    assert _auto_block_b(128, 1280, 4) == 1  # vit_huge f32
     assert _auto_block_b(6, 768, 4) == 3     # respects batch divisibility
     assert _auto_block_b(2, 384, 2) == 2     # bt <= b

@@ -38,20 +38,25 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _auto_block_b(b: int, d: int, itemsize: int, start: int = 8) -> int:
-    """Default batch block, shrunk for f32 compute at DeiT-B width and up.
+    """Default batch block, shrunk for wide models where bt=8 overflows VMEM.
 
     Calibrated table, not a model (compiler stack temporaries dominate the
     scoped-VMEM footprint and their reuse is opaque): the fixed bt=8
     default overflowed the ~102 MB scoped-VMEM stack by 284 KB at f32 x
     hidden-768 x S_pad-200 (the deit_base @224 quality-gate eval step,
     round 3), while every bf16 bench config through ViT-L fits at bt=8.
-    So: bf16/int8 keep bt=8 (byte-unchanged programs); f32 drops to 4 at
-    d>=768 and 2 at d>=1024 (halving bt halves everything except the
-    resident weights, which are 28 of the 102 MB at DeiT-B f32).
+    ViT-H/14 bf16 (d=1280, mlp 5120, S_pad 264) needs 163.9 MB at bt=8
+    (round 4, dense bench row) — the staged2 logits scratch alone is
+    bt*16*264*264 f32 = 35.7 MB and the resident weights 39 MB; bt=4
+    halves everything but the weights. So: bf16/int8 keep bt=8 through
+    d=1024, bt=4 at d>=1280; f32 drops to 4 at d>=768, 2 at d>=1024,
+    1 at d>=1280.
     """
     bt = start
     if itemsize >= 4 and d >= 768:
-        bt = 4 if d < 1024 else 2
+        bt = 4 if d < 1024 else (2 if d < 1280 else 1)
+    elif d >= 1280:
+        bt = 4
     bt = min(bt, b)
     while b % bt:
         bt -= 1
