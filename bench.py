@@ -100,7 +100,9 @@ def main():
                     help="forwards per jitted call — amortizes the relay's "
                          "~30 ms per-dispatch overhead (measured via a pure "
                          "copy control, scripts/kernel_lab.py)")
-    ap.add_argument("--model", default="deit_small")
+    ap.add_argument("--model", default="deit_small",
+                    choices=["deit_tiny", "deit_small", "deit_base",
+                             "vit_large", "vit_huge"])
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--skip", type=float, default=0.5)
     ap.add_argument("--kernels", default="auto", choices=["auto", "pallas", "xla"])
@@ -281,7 +283,11 @@ def main():
         # T/S/B/L/H x {dense, 25, 50, composed, ultra} in ONE command
         # (VERDICT r3 #5: the scaling rows must come out of the documented
         # matrix command, not hand-run singles)
-        full_models = [m for m in args.full_models.split(",") if m]
+        full_models = [m.strip() for m in args.full_models.split(",") if m.strip()]
+        bad = [m for m in full_models if m not in models]
+        if bad or not full_models:
+            ap.error(f"--full_models: unknown model(s) {bad or ['<empty>']}; "
+                     f"valid names: {', '.join(sorted(models))}")
         rows = []
         for mname, skip in itertools.product(full_models, [0.0, 0.25, 0.5]):
             row = measure(mname, skip, args.mode)
@@ -294,6 +300,7 @@ def main():
                 log(row)
         with open("bench_full.json", "w") as fh:
             json.dump(rows, fh, indent=1)
+            fh.write("\n")
         dense = next(r for r in rows if r["model"] == "deit_small" and r["skip"] == 0.0)
         half = next(r for r in rows if r["model"] == "deit_small" and r["skip"] == 0.5)
         print(json.dumps({
@@ -305,13 +312,21 @@ def main():
         return
 
     if args.bs_sweep:
-        # throughput-vs-batch for the serving presets. The per-batch fixed
-        # costs (conv embed, compaction matmuls, classifier, and the relay's
-        # dispatch share) are a far larger FRACTION of an ultra batch
-        # (6.3 ms at bs512) than of a dense one (35.5 ms), so the presets'
-        # max-throughput batch sits above the headline bs512; this measures
-        # where, per model. Rows reuse measure(), so MFU fields come along.
-        bs_list = [int(v) for v in args.bs_list.split(",")]
+        # throughput-vs-batch for the serving presets. Measured outcome
+        # (bs_sweep.json, round 4): throughput is FLAT bs512-2048 within
+        # +-3.6% for dense/50%/composed/ultra — the presets' sub-50% MFU is
+        # small-shape MXU efficiency, not fixed-cost amortization. Kept as a
+        # regression/measurement tool. Rows reuse measure(), so MFU fields
+        # come along.
+        try:
+            bs_list = [int(v.strip()) for v in args.bs_list.split(",")
+                       if v.strip()]
+        except ValueError:
+            ap.error(f"--bs_list: expected comma-separated ints, got "
+                     f"{args.bs_list!r}")
+        if not bs_list or any(b <= 0 for b in bs_list):
+            ap.error(f"--bs_list: batch sizes must be positive ints, got "
+                     f"{args.bs_list!r}")
         sweep_cfgs = [("dense", dict(skip=0.0)),
                       ("pruned50", dict(skip=0.5)),
                       ("composed", dict(skip=0.0, composed=True,
@@ -328,6 +343,7 @@ def main():
         with open("bs_sweep.json", "w") as fh:
             json.dump({"model": args.model, "dtype": args.dtype,
                        "inner": args.inner, "rows": rows}, fh, indent=1)
+            fh.write("\n")
         best = max((r for r in rows if r["config"] == "ultra"),
                    key=lambda r: r["img_per_sec_chip"])
         dense_same_b = next(r for r in rows if r["config"] == "dense"

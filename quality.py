@@ -633,7 +633,7 @@ def main(argv=None):
                     "~log2(C)/log2(vocab) evidence cells kept through the "
                     "drop layer — and bounds learnability (train_size/C "
                     "samples per class); 128 classes at the default 8192 "
-                    "train images measured 7% dense top-1 after 10 epochs "
+                    "train images measured 7%% dense top-1 after 10 epochs "
                     "(unlearnable at this budget), 16 classes converge")
     ap.add_argument("--task", choices=["localized", "distributed"],
                     default="localized",

@@ -54,9 +54,9 @@ def _auto_block_b(b: int, d: int, itemsize: int, start: int = 8) -> int:
     """
     bt = start
     if itemsize >= 4 and d >= 768:
-        bt = 4 if d < 1024 else (2 if d < 1280 else 1)
+        bt = min(start, 4 if d < 1024 else (2 if d < 1280 else 1))
     elif d >= 1280:
-        bt = 4
+        bt = min(start, 4)
     bt = min(bt, b)
     while b % bt:
         bt -= 1
