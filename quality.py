@@ -71,6 +71,48 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# Bumped whenever the gate adds/renames recorded fields. Sections written by
+# --merge_into are stamped and VALIDATED against this version, so a section
+# half-regenerated under an older gate (e.g. round 4's ultra row, which
+# predated the predictor_capture gate and silently lacked its fields —
+# VERDICT r4 weak #5) can no longer land in quality_results.json.
+SCHEMA_VERSION = 2
+
+
+def validate_section(section: dict, name: str = "<top>") -> list[str]:
+    """Current-schema check for one results section. Returns a list of
+    problems (empty = valid). Enforced at --merge_into time and by
+    tests/test_artifacts.py on the committed quality_results.json."""
+    problems = []
+    if section.get("schema_version") != SCHEMA_VERSION:
+        problems.append(
+            f"{name}: schema_version {section.get('schema_version')} != "
+            f"current {SCHEMA_VERSION} (regenerate with this quality.py)")
+    for key in ("dense_top1", "dense_top1_int8", "dataset", "gate_model",
+                "image_size", "gate_max_drop", "presets", "pass"):
+        if key not in section:
+            problems.append(f"{name}: missing field {key!r}")
+    for pname, row in (section.get("presets") or {}).items():
+        where = f"{name}.presets.{pname}"
+        for key in ("serving_config", "pruned_top1", "pruned_top1_int8",
+                    "delta", "delta_int8", "dense_top1", "budget",
+                    "measured_skip", "target_skip", "gates", "pass"):
+            if key not in row:
+                problems.append(f"{where}: missing field {key!r}")
+        sc = row.get("serving_config") or {}
+        # every structured/deep-schedule mse_attention preset must carry the
+        # per-layer capture fields its gate reads
+        if (sc.get("mode") == "topk_prog" and sc.get("keep_schedule")
+                and sc.get("loss") == "mse_attention"):
+            for key in ("predictor_capture_min", "predictor_capture_per_layer"):
+                if key not in row:
+                    problems.append(f"{where}: structured preset missing "
+                                    f"{key!r} (capture gate fields)")
+            if "predictor_capture" not in (row.get("gates") or {}):
+                problems.append(f"{where}: gates missing 'predictor_capture'")
+    return problems
+
+
 def _cached_synthetic(n, image_size, num_labels, *, seed, label_noise,
                       signal_patches, cell, task="localized"):
     """Disk-cached synthetic_{localized,distributed}_dataset. The 224-scale
@@ -608,10 +650,11 @@ def main(argv=None):
                              "both", "all"],
                     default="headline",
                     help="'both' = headline+composed (round-2 surface); "
-                    "'all' adds the mask serving preset; 'ultra' = the "
-                    "deeper ultra_schedule (passes the gate unmerged; add "
-                    "--merge_dropped to measure the merge-compaction "
-                    "variant and its ablation)")
+                    "'all' = headline+mask+composed+ultra (every serving "
+                    "preset in one section — current-schema rows for all "
+                    "four); 'ultra' alone = the deeper ultra_schedule "
+                    "(passes the gate unmerged; add --merge_dropped to "
+                    "measure the merge-compaction variant and its ablation)")
     ap.add_argument("--skip", type=float, default=0.5)
     ap.add_argument("--max_drop", type=float, default=0.005)
     ap.add_argument("--min_predictor_acc", type=float, default=0.85)
@@ -862,7 +905,7 @@ def main(argv=None):
             target_skip=1.0 - (sum(live) / len(live)) / (n + 1),
             structured=True, check_predictor=False,
         )
-    if args.preset == "ultra":
+    if args.preset in ("ultra", "all"):
         from vit_pruning_tpu.configs import schedule_live, ultra_schedule
 
         # the ultra preset = composed recipe, ~halved live token counts
@@ -894,13 +937,25 @@ def main(argv=None):
             if spec["pcfg"].mode == "topk_prog":
                 spec["pcfg"] = spec["pcfg"].replace(merge_dropped=True)
 
-    results = {"dense_top1": round(dense_acc, 4),
+    results = {"schema_version": SCHEMA_VERSION,
+               "dense_top1": round(dense_acc, 4),
                "dense_top1_int8": round(dense_acc_i8, 4),
                "dataset": ("cifar100" if args.data_path
                            else f"synthetic_{getattr(args, 'task', 'localized')}"),
                "gate_model": args.gate_model,
                "image_size": config.image_size,
                "gate_max_drop": args.max_drop, "presets": {}}
+    if not args.data_path:
+        # pin the synthetic-task instance the deltas were measured on
+        results["task_params"] = {
+            "num_labels": config.num_labels,
+            "train_size": args.train_size, "test_size": args.test_size,
+            "label_noise": args.label_noise,
+            "signal_patches": (getattr(args, "signal_patches", None)
+                               or (8 if getattr(args, "task", "localized")
+                                   == "distributed"
+                                   else max(8, config.num_patches // 8))),
+        }
     all_pass = True
     headline_params = None
     for name, spec in presets.items():
@@ -1042,8 +1097,30 @@ def main(argv=None):
             with open(args.merge_into) as fh:
                 existing = json.load(fh)
         merge_results(existing, results, args.section, log)
+        # the section this run just produced/updated must be fully
+        # current-schema — merging a partial rerun into a stale section
+        # (missing capture fields, old version) fails loudly here instead
+        # of committing silent drift (VERDICT r4 #6)
+        written = existing[args.section] if args.section else existing
+        problems = validate_section(written, args.section or "<top>")
+        if problems:
+            for p in problems:
+                log(f"SCHEMA: {p}")
+            # don't discard an hours-long run: park the merged dict next to
+            # the target for inspection, but never publish a stale section
+            rejected = args.merge_into + ".rejected.json"
+            with open(rejected, "w") as fh:
+                json.dump(existing, fh, indent=1)
+                fh.write("\n")
+            raise SystemExit(
+                f"--merge_into refused: section {args.section or '<top>'} "
+                f"fails current-schema validation ({len(problems)} problems "
+                f"above; merged dict parked at {rejected}); re-run with "
+                f"--preset all (or enough presets to regenerate every stale "
+                f"row)")
         with open(args.merge_into, "w") as fh:
             json.dump(existing, fh, indent=1)
+            fh.write("\n")
     print(json.dumps(results))
     return 0 if all_pass else 1
 
