@@ -39,9 +39,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-# reference anchors (himanshu/stats.csv:12, hi_main.py:190)
-ANCHOR_DENSE = 0.8985
-ANCHOR_PRUNED = 0.8891
+# reference anchors per dataset:
+#   cifar100 — himanshu/stats.csv:12, hi_main.py:190 docstring
+#   imagenet_folder — the reference's ImageNet-1k-val ImageFolder runs
+#     (H5 loader, main_model_utils.py:64-95; logs
+#     2025-04-30_14-45-30_no_mlp_imagenet_*.txt best dense 82.45%,
+#     2025-04-30_12-04-10_mlp_full_imagenet_*.txt best pruned 80.16%)
+ANCHORS = {
+    "cifar100": (0.8985, 0.8891),
+    "imagenet_folder": (0.8245, 0.8016),
+}
 
 
 def make_cifar100_fixture(root: str, n_train: int, n_test: int) -> str:
@@ -60,6 +67,30 @@ def make_cifar100_fixture(root: str, n_train: int, n_test: int) -> str:
         flat = images.transpose(0, 3, 1, 2).reshape(n, -1)  # HWC -> CHW flat
         with open(os.path.join(base, name), "wb") as f:
             pickle.dump({b"data": flat, b"fine_labels": labels.tolist()}, f)
+    return root
+
+
+def make_imagefolder_fixture(root: str, n_train: int, n_test: int,
+                             num_labels: int = 100) -> str:
+    """Synthesize a class-per-subdirectory image tree in the EXACT layout
+    the reference's ImageNet-val/TinyImageNet runs consume (ImageFolder,
+    main_model_utils.py:64-95): <root>/{train,val}/<class>/<img>.png at
+    64x64 (the TinyImageNet decode size, so the rehearsal also exercises
+    the native batch resampler's uniform-shape fast path). Content comes
+    from the quality gate's non-saturating localized task."""
+    from PIL import Image
+
+    from vit_pruning_tpu.data.datasets import synthetic_localized_dataset
+
+    for split, n, seed in (("train", n_train, 0), ("val", n_test, 1)):
+        images, labels = synthetic_localized_dataset(
+            n, image_size=64, num_labels=num_labels, seed=seed,
+            label_noise=0.1, signal_patches=8, cell=8)
+        for i in range(n):
+            cdir = os.path.join(root, split, f"class_{labels[i]:04d}")
+            os.makedirs(cdir, exist_ok=True)
+            Image.fromarray(images[i]).save(
+                os.path.join(cdir, f"img_{i:06d}.png"))
     return root
 
 
@@ -97,7 +128,15 @@ def load_backbone(args, config, pcfg):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data_path", default=None,
-                    help="dir containing cifar-100-python/ (the real run)")
+                    help="dir containing cifar-100-python/ (cifar100) or "
+                    "train/ + val/ class subtrees (imagenet_folder)")
+    ap.add_argument("--dataset", choices=["cifar100", "imagenet_folder"],
+                    default="cifar100",
+                    help="which reference dataset flow to run: the CIFAR-100 "
+                    "pickle loader (hi_main.py:48-53 recipe, anchors "
+                    "89.85/88.91) or the ImageNet-val/TinyImageNet "
+                    "ImageFolder loader (H5, main_model_utils.py:64-95, "
+                    "anchors 82.45/80.16 with google/vit-base-patch16-224)")
     ap.add_argument("--torch_checkpoint", default=None,
                     help="pretrained weights: HF name/dir (Ahmed9275/"
                     "Vit-Cifar100) or a .pth state_dict")
@@ -130,12 +169,20 @@ def main(argv=None):
 
     if not args.fixture and not args.data_path:
         ap.error("need --data_path (real run) or --fixture (rehearsal)")
+    anchor_dense, anchor_pruned = ANCHORS[args.dataset]
     if args.fixture:
         if args.data_path is None:
-            args.data_path = "/tmp/reproduce_fixture_data"
-        if not os.path.isdir(os.path.join(args.data_path, "cifar-100-python")):
-            print("synthesizing CIFAR-100-format fixture…", flush=True)
-            make_cifar100_fixture(args.data_path, n_train=2048, n_test=512)
+            args.data_path = f"/tmp/reproduce_fixture_data_{args.dataset}"
+        if args.dataset == "cifar100":
+            if not os.path.isdir(
+                    os.path.join(args.data_path, "cifar-100-python")):
+                print("synthesizing CIFAR-100-format fixture…", flush=True)
+                make_cifar100_fixture(args.data_path, n_train=2048, n_test=512)
+        else:
+            if not os.path.isdir(os.path.join(args.data_path, "train")):
+                print("synthesizing ImageFolder fixture…", flush=True)
+                make_imagefolder_fixture(args.data_path,
+                                         n_train=2048, n_test=512)
 
     import jax
 
@@ -147,7 +194,11 @@ def main(argv=None):
 
     from vit_pruning_tpu.checkpoint import BestCheckpoint
     from vit_pruning_tpu.configs import PruneConfig, vit_base_patch16_224
-    from vit_pruning_tpu.data.datasets import DeviceBatches, load_cifar100
+    from vit_pruning_tpu.data.datasets import (
+        DeviceBatches,
+        load_cifar100,
+        load_image_folder,
+    )
     from vit_pruning_tpu.train.harness import evaluate, phased_train
     from vit_pruning_tpu.utils.run_logging import (
         RunLogger,
@@ -155,7 +206,20 @@ def main(argv=None):
         encode_run_name,
     )
 
-    config = vit_base_patch16_224(num_labels=100)
+    if args.dataset == "cifar100":
+        tr = load_cifar100(args.data_path, train=True, size=args.train_size)
+        te = load_cifar100(args.data_path, train=False, size=args.test_size)
+        num_labels = 100
+    else:
+        # the reference's ImageFolder flow (H5): one class per subdirectory,
+        # decode + resize to 224 host-side (TinyImageNetDataset semantics)
+        tr = load_image_folder(args.data_path, split="train",
+                               size=args.train_size)
+        te = load_image_folder(args.data_path, split="val",
+                               size=args.test_size)
+        num_labels = int(max(int(tr[1].max()), int(te[1].max())) + 1)
+
+    config = vit_base_patch16_224(num_labels=num_labels)
     pcfg = PruneConfig(
         mode="mask", predictor="cls_mlp", loss="bce_oracle",
         sim_threshold=args.sim_threshold, mlp_threshold=args.mlp_threshold,
@@ -163,7 +227,8 @@ def main(argv=None):
     )
 
     run_name = encode_run_name(
-        model_desc="reproduce_reference" + ("_fixture" if args.fixture else ""),
+        model_desc="reproduce_reference_" + args.dataset
+        + ("_fixture" if args.fixture else ""),
         train_type="both", variant="vit_pruning_tpu",
         loss_types=("cosine", "classification"),
         lrs=tuple(args.lrs), sim_threshold=args.sim_threshold,
@@ -176,9 +241,8 @@ def main(argv=None):
     log(f"run: {run_name}")
     log(f"devices: {jax.devices()}")
 
-    tr = load_cifar100(args.data_path, train=True, size=args.train_size)
-    te = load_cifar100(args.data_path, train=False, size=args.test_size)
-    log(f"data: {len(tr[1])} train / {len(te[1])} test from {args.data_path}")
+    log(f"data ({args.dataset}): {len(tr[1])} train / {len(te[1])} test "
+        f"({num_labels} classes) from {args.data_path}")
     train_b = DeviceBatches(*tr, batch_size=args.train_batch, image_size=224,
                             shuffle=True, seed=42)
     test_b = DeviceBatches(*te, batch_size=args.test_batch, image_size=224)
@@ -196,11 +260,11 @@ def main(argv=None):
         params, test_b, config, PruneConfig(mode="none", predictor="none"),
         full_testing=False)
     log(f"dense top-1 at start: {dense_acc:.4f} ({time.time() - t0:.0f}s) "
-        f"[anchor {ANCHOR_DENSE:.4f} with the reference checkpoint]")
+        f"[anchor {anchor_dense:.4f} with the reference checkpoint]")
     if args.assert_anchors:
-        assert dense_acc >= ANCHOR_DENSE - args.anchor_tol, (
+        assert dense_acc >= anchor_dense - args.anchor_tol, (
             f"dense start {dense_acc:.4f} below anchor "
-            f"{ANCHOR_DENSE:.4f} - {args.anchor_tol}")
+            f"{anchor_dense:.4f} - {args.anchor_tol}")
 
     best = BestCheckpoint()
     params = phased_train(
@@ -214,15 +278,16 @@ def main(argv=None):
     acc, mlp_acc, _ = evaluate(params, test_b, config, pcfg,
                                full_testing=True, log=log)
     log(f"final pruned top-1: {acc:.4f}, predictor-vs-oracle: {mlp_acc:.4f} "
-        f"[anchor {ANCHOR_PRUNED:.4f}]")
+        f"[anchor {anchor_pruned:.4f}]")
     append_stats(args.stats_csv, run_name, acc, mlp_acc)
     if args.assert_anchors:
-        assert acc >= ANCHOR_PRUNED - args.anchor_tol, (
-            f"final pruned {acc:.4f} below anchor {ANCHOR_PRUNED:.4f} - "
+        assert acc >= anchor_pruned - args.anchor_tol, (
+            f"final pruned {acc:.4f} below anchor {anchor_pruned:.4f} - "
             f"{args.anchor_tol}")
         log("ANCHORS PASS")
     print(json.dumps({
-        "run": run_name, "dense_top1_start": round(float(dense_acc), 4),
+        "run": run_name, "dataset": args.dataset,
+        "dense_top1_start": round(float(dense_acc), 4),
         "pruned_top1": round(float(acc), 4),
         "mlp_accuracy": round(float(mlp_acc), 4),
         "fixture": bool(args.fixture),

@@ -11,9 +11,17 @@ them. Round 4 split the work by phase:
     score heads), update-equivalent to the generic step
     (tests/test_harness.py::test_detached_cosine_step_matches_generic).
 
-This script measures both phases, old path vs new, same run, same batch —
-DeiT-S @224, bs128, mask mode (scripts/config5_run.py geometry; reference
-anchor for the double forward: himanshu/model_utils.py:95-101). Writes
+Round 5 closes the last sliver (SURVEY §7 hard part d): the 'both'-loss
+step used to compute the oracle's dense pass INSIDE the jax.checkpoint'd
+layer, so the backward recomputed a full dense forward per layer for zero
+gradient (every consumer stop-grads it). The oracle targets are now hoisted
+outside the remat/AD scope (models/pruned_vit.py::_hoisted_oracle_targets):
+'both' pays exactly one no-AD dense forward. This script measures the r4
+structure (monkeypatched back in) against the r5 default, same run.
+
+All phases measured old path vs new, same run, same batch — DeiT-S @224,
+bs128, mask mode (scripts/config5_run.py geometry; reference anchor for the
+double forward: himanshu/model_utils.py:95-101). Writes
 scripts/train_step_bench.json.
 
     python scripts/train_step_bench.py
@@ -94,8 +102,22 @@ def main():
     # under remat, in the backward recompute) — a slight upper bound on the
     # r3 step (it also differentiates pred_loss; those grads are zeroed by
     # the vit_train freeze policy).
-    old_ft = run("fine-tune bf16+remat instrumented control ('both')",
-                 "both", "vit_train", compute_dtype=jnp.bfloat16, remat=True)
+    # r4 control: force the oracle dense pass back INSIDE the remat'd layer
+    # (the pre-r5 structure — the backward then recomputes a full dense
+    # forward per layer for zero gradient)
+    from vit_pruning_tpu.models import pruned_vit as _pv
+
+    _hoist_orig = _pv._hoistable_oracle
+    _pv._hoistable_oracle = lambda pcfg_: False
+    try:
+        old_ft = run("fine-tune bf16+remat instrumented 'both' (r4: oracle "
+                     "inside remat)", "both", "vit_train",
+                     compute_dtype=jnp.bfloat16, remat=True)
+    finally:
+        _pv._hoistable_oracle = _hoist_orig
+    hoist_ft = run("fine-tune bf16+remat instrumented 'both' (r5: hoisted "
+                   "oracle targets)", "both", "vit_train",
+                   compute_dtype=jnp.bfloat16, remat=True)
     new_ft = run("fine-tune bf16+remat 'classification' (r4: oracle skipped)",
                  "classification", "vit_train",
                  compute_dtype=jnp.bfloat16, remat=True)
@@ -108,6 +130,8 @@ def main():
            "devices": [str(d) for d in jax.devices()],
            "speedup_cosine": round(old_cos / new_cos, 2),
            "speedup_finetune_vs_instrumented": round(old_ft / new_ft, 2),
+           "speedup_both_hoisted_vs_r4": round(old_ft / hoist_ft, 2),
+           "both_overhead_vs_classification": round(hoist_ft / new_ft, 3),
            "rows": rows}
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "train_step_bench.json")

@@ -65,7 +65,13 @@ def test_quality_mask_preset_serves_headline_weights(monkeypatch, capsys):
         calls["trained"].append(pcfg.mode)
         calls["train_params"].append(params)
         acc_structural = 0.88 if structured else None
-        skip = 0.64 if structured else 0.5  # near each preset's target
+        if pcfg.keep_schedule:  # report the schedule's own target skip
+            from vit_pruning_tpu.configs import schedule_live
+
+            live = schedule_live(pcfg.keep_schedule, config.num_patches)
+            skip = 1.0 - (sum(live) / len(live)) / (config.num_patches + 1)
+        else:
+            skip = 0.5
         # structured mse_attention presets are gated on their weakest drop
         # layer's attention-mass capture (predictor_capture_min)
         extra = {"predictor_capture_min": 0.9} if structured else {}
@@ -92,8 +98,8 @@ def test_quality_mask_preset_serves_headline_weights(monkeypatch, capsys):
     assert rc == 0
     results = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
 
-    # exactly three training runs: dense, headline, composed — NOT mask
-    assert calls["trained"] == ["none", "topk", "topk_prog"]
+    # exactly four training runs: dense, headline, composed, ultra — NOT mask
+    assert calls["trained"] == ["none", "topk", "topk_prog", "topk_prog"]
     # measure_preset called once (mask); headline/composed measure inside
     # train_and_eval
     assert len(calls["measured"]) == 1
@@ -254,7 +260,13 @@ def test_quality_merge_dropped_flag_flips_topk_prog_presets(monkeypatch, capsys)
         params = init_pruned_vit_params(jax.random.PRNGKey(42), config, pcfg)
         calls["pcfgs"].append(pcfg)
         acc_structural = 0.88 if structured else None
-        skip = 0.64 if structured else 0.5
+        if pcfg.keep_schedule:
+            from vit_pruning_tpu.configs import schedule_live
+
+            live = schedule_live(pcfg.keep_schedule, config.num_patches)
+            skip = 1.0 - (sum(live) / len(live)) / (config.num_patches + 1)
+        else:
+            skip = 0.5
         extra = {"predictor_capture_min": 0.9} if structured else {}
         return (0.9, 0.9, 0.9, skip, acc_structural, params, extra)
 

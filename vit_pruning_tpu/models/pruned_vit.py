@@ -212,6 +212,71 @@ def _mlp_threshold(pcfg: PruneConfig, layer_idx: int) -> float:
     return mt[layer_idx] if isinstance(mt, tuple) else mt
 
 
+def _hoistable_oracle(pcfg: PruneConfig) -> bool:
+    """True when the layer's oracle/teacher signals can be computed OUTSIDE
+    the layer's AD/remat scope (see _hoisted_oracle_targets): every consumer
+    stop-grads them and the dense pass is not the layer's output. Excluded:
+    mode='oracle' and measure_only (dense_out IS the output) and the
+    key_cosine predictor (it computes the dense pass inside apply_predictor
+    anyway — hoisting would pay it twice)."""
+    return (pcfg.mode in ("mask", "topk", "topk_prog", "random")
+            and not pcfg.measure_only
+            and pcfg.predictor != "key_cosine")
+
+
+def _hoisted_oracle_targets(
+    layer_params: dict,
+    layer_idx: int,
+    x: jnp.ndarray,
+    config: ViTConfig,
+    pcfg: PruneConfig,
+    teacher: Optional[tuple],
+    use_pallas: bool,
+    quant: str,
+) -> dict:
+    """Predictor-loss teacher signals, computed outside remat/AD (SURVEY §7
+    hard part (d), VERDICT r4 #5).
+
+    The oracle's dense layer pass (the reference's second full forward,
+    himanshu/model_utils.py:95-101) is pure instrumentation: similarity
+    labels, CLS-attention targets and confusion counts are all consumed
+    under stop_gradient. Computing it inside the jax.checkpoint'd layer made
+    the 'both'-loss fine-tune backward RECOMPUTE a dense forward per layer
+    for zero gradient. Hoisting the [B,N]-sized targets out of the remat
+    scope makes the instrumented step pay exactly one no-AD dense forward,
+    and the remat residuals stay small (targets, not [B,S,D] activations).
+
+    Returns {"similarity", "oracle_keep"} plus the loss-specific target
+    ("attn_target" for mse_attention, "cos_target" for mse_cosine).
+    """
+    xs = jax.lax.stop_gradient(x)
+    t: dict = {}
+    dense_out = None
+    if pcfg.loss == "mse_attention":
+        # M7 target needs attention probabilities — XLA path, like the
+        # in-layer branch it replaces
+        dense_out, probs = vit_layer(xs, layer_params, config, return_probs=True)
+        t["attn_target"] = probs[:, :, 0, 1:].mean(axis=1)
+    elif teacher is None:
+        dense_out = vit_layer(xs, layer_params, config, use_pallas=use_pallas,
+                              quant=quant)
+    if teacher is not None:
+        # M19 parallel teacher stream (mukunda/deit.py:241-343)
+        oracle_in = jax.lax.stop_gradient(teacher[0][:, 1:])
+        dense_p = jax.lax.stop_gradient(teacher[1][:, 1:])
+    else:
+        oracle_in = xs[:, 1:]
+        dense_p = dense_out[:, 1:]
+    sim = similarity_oracle(oracle_in, dense_p, pcfg.oracle_alpha)
+    t["similarity"] = sim
+    t["oracle_keep"] = sim < _sim_threshold(pcfg, layer_idx)
+    if pcfg.loss == "mse_cosine":
+        dot = jnp.sum(dense_p * oracle_in, axis=-1)
+        nrm = jnp.linalg.norm(dense_p, axis=-1) * jnp.linalg.norm(oracle_in, axis=-1)
+        t["cos_target"] = (dot / jnp.maximum(nrm, 1e-12) + 1.0) / 2.0
+    return jax.lax.stop_gradient(t)
+
+
 def pruned_layer_forward(
     layer_params: dict,
     pred_params: Optional[dict],
@@ -229,6 +294,7 @@ def pruned_layer_forward(
     updatenet_params: Optional[dict] = None,
     teacher: Optional[tuple] = None,
     train: bool = False,
+    oracle_targets: Optional[dict] = None,
 ):
     """One pruned encoder layer. Returns (x_out, info dict).
 
@@ -240,6 +306,10 @@ def pruned_layer_forward(
     masked layer / static gather-scatter paths (differentiable, one
     compiled shape) instead of the serving-only bucketed dispatch, but
     skips the oracle's dense pass entirely.
+
+    oracle_targets: teacher signals precomputed by _hoisted_oracle_targets
+    (outside this function's remat scope); when given, the layer computes
+    NO dense oracle pass of its own.
     """
     b, s, d = x.shape
     n = s - 1
@@ -274,9 +344,10 @@ def pruned_layer_forward(
     # paying a second full pass for the oracle / M3
     dense_out = extras.get("dense_out")
     probs = None
-    need_probs = need_oracle and pcfg.loss == "mse_attention"
+    need_probs = (need_oracle and pcfg.loss == "mse_attention"
+                  and oracle_targets is None)
     if (pcfg.mode == "oracle" or pcfg.measure_only or need_probs
-            or (need_oracle and teacher is None)):
+            or (need_oracle and teacher is None and oracle_targets is None)):
         if need_probs:
             dense_out, probs = vit_layer(x, layer_params, config, return_probs=True)
         elif dense_out is None:
@@ -384,29 +455,41 @@ def pruned_layer_forward(
     info = {"keep_mask": mask, "scores": scores}
 
     if need_oracle:
-        if teacher is not None:
-            # M19 parallel teacher stream (mukunda/deit.py:241-343): oracle
-            # from the UNPRUNED trajectory, not the pruned stream's input
-            t_in, t_out = teacher
-            oracle_in = jax.lax.stop_gradient(t_in[:, 1:])
-            dense_p = jax.lax.stop_gradient(t_out[:, 1:])
+        if oracle_targets is not None:
+            # teacher signals hoisted out of this layer's AD/remat scope
+            # (_hoisted_oracle_targets) — already stop-gradded there
+            sim = oracle_targets["similarity"]
+            oracle_keep = oracle_targets["oracle_keep"]
+            cos = oracle_targets.get("cos_target")
+            target = oracle_targets.get("attn_target")
         else:
-            oracle_in = jax.lax.stop_gradient(x[:, 1:])
-            dense_p = jax.lax.stop_gradient(dense_out[:, 1:])
-        sim = similarity_oracle(oracle_in, dense_p, pcfg.oracle_alpha)
-        oracle_keep = sim < _sim_threshold(pcfg, layer_idx)
+            if teacher is not None:
+                # M19 parallel teacher stream (mukunda/deit.py:241-343):
+                # oracle from the UNPRUNED trajectory, not the pruned
+                # stream's input
+                t_in, t_out = teacher
+                oracle_in = jax.lax.stop_gradient(t_in[:, 1:])
+                dense_p = jax.lax.stop_gradient(t_out[:, 1:])
+            else:
+                oracle_in = jax.lax.stop_gradient(x[:, 1:])
+                dense_p = jax.lax.stop_gradient(dense_out[:, 1:])
+            sim = similarity_oracle(oracle_in, dense_p, pcfg.oracle_alpha)
+            oracle_keep = sim < _sim_threshold(pcfg, layer_idx)
+            if pcfg.loss == "mse_cosine":
+                dot = jnp.sum(dense_p * oracle_in, axis=-1)
+                nrm = (jnp.linalg.norm(dense_p, axis=-1)
+                       * jnp.linalg.norm(oracle_in, axis=-1))
+                cos = (dot / jnp.maximum(nrm, 1e-12) + 1.0) / 2.0
+            elif pcfg.loss == "mse_attention":
+                target = jax.lax.stop_gradient(probs[:, :, 0, 1:].mean(axis=1))
         if pcfg.loss == "bce_oracle":
             pred_loss = weighted_bce_oracle(scores, oracle_keep)
         elif pcfg.loss == "mse_cosine":
-            dot = jnp.sum(dense_p * oracle_in, axis=-1)
-            nrm = jnp.linalg.norm(dense_p, axis=-1) * jnp.linalg.norm(oracle_in, axis=-1)
-            cos = (dot / jnp.maximum(nrm, 1e-12) + 1.0) / 2.0
             pred_loss = mse_cosine_loss(scores, cos)
             # training signal for the detached predictor step (harness fast
             # path): the cosine target the scores regress
             info["cos_target"] = cos
         elif pcfg.loss == "mse_attention":
-            target = jax.lax.stop_gradient(probs[:, :, 0, 1:].mean(axis=1))
             pred_loss = mse_attention_loss(scores, target)
             # expose the training signal so callers can measure predictor
             # fidelity against the ranking it was actually trained on
@@ -543,13 +626,22 @@ def pruned_vit_forward(
                 elif pcfg.loss == "mse_cosine":
                     info["cos_target"] = jnp.ones((x.shape[0], n), x.dtype)
         else:
-            def layer_fn(lp_, pred_, x_, prev_keep_, rng_, un_, teacher_, _i=i):
+            otargets = None
+            if need_oracle and _hoistable_oracle(pcfg):
+                # dense-pass instrumentation stays OUTSIDE the (possibly
+                # remat'd) differentiable layer: one no-AD dense forward,
+                # small [B,N] residuals (SURVEY §7 hard part (d))
+                otargets = _hoisted_oracle_targets(
+                    lp, i, x, config, pcfg, teacher, use_pallas, quant)
+
+            def layer_fn(lp_, pred_, x_, prev_keep_, rng_, un_, teacher_,
+                         otargets_, _i=i):
                 return pruned_layer_forward(
                     lp_, pred_, _i, x_, config, pcfg,
                     prev_keep=prev_keep_, nbr_idx=nbr_idx,
                     need_oracle=need_oracle, rng=rng_, use_pallas=use_pallas,
                     quant=quant, updatenet_params=un_, teacher=teacher_,
-                    train=train,
+                    train=train, oracle_targets=otargets_,
                 )
             if remat:
                 # trade FLOPs for memory on long fine-tunes (the reference's
@@ -557,7 +649,8 @@ def pruned_vit_forward(
                 layer_fn = jax.checkpoint(layer_fn)
             x_in = x
             x, info = layer_fn(
-                lp, pred, x, prev_keep, rng, params.get("updatenet"), teacher
+                lp, pred, x, prev_keep, rng, params.get("updatenet"), teacher,
+                otargets
             )
             if pcfg.skip_next_threshold > 0.0:
                 # M8 (midlayer.py:471-523): decide from THIS layer's raw
