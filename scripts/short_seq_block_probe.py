@@ -41,12 +41,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_layer(x, lp, num_heads, eps, block_b, iters=8):
+def time_layer(x, lp, num_heads, eps, block_b, iters=8,
+               attn_impl="staged2", ablate="none"):
     @jax.jit
     def fn(x, lp):
         def body(i, acc):
             return fused_vit_layer(acc, lp, num_heads, eps=eps,
-                                   block_b=block_b)
+                                   block_b=block_b, attn_impl=attn_impl,
+                                   ablate=ablate)
 
         return jax.lax.fori_loop(0, INNER, body, x).sum()
 
@@ -80,8 +82,26 @@ def main():
                               jnp.bfloat16)
         for bt in (8, 16, 32, 64):
             ms, comp = time_layer(x, lp, ccfg.num_heads, cfg.layernorm_eps, bt)
-            row = {"seq": s, "block_b": bt, "ms_per_layer": round(ms, 4),
-                   "compile_s": round(comp, 1)}
+            row = {"seq": s, "block_b": bt, "impl": "staged2",
+                   "ms_per_layer": round(ms, 4), "compile_s": round(comp, 1)}
+            rows.append(row)
+            log(row)
+        # where does the time go? 'attn' skips the logits/softmax/PV section
+        # (QKV + O-proj + MLP remain): none - attn = the per-(image, head)
+        # attention cost the packed impl attacks
+        ms, comp = time_layer(x, lp, ccfg.num_heads, cfg.layernorm_eps, 8,
+                              ablate="attn")
+        row = {"seq": s, "block_b": 8, "impl": "staged2", "ablate": "attn",
+               "ms_per_layer": round(ms, 4), "compile_s": round(comp, 1)}
+        rows.append(row)
+        log(row)
+        # cross-image packed block-diagonal attention (ONE [bt*S, bt*S] dot
+        # per head instead of bt underfilled [S, S] dots)
+        for bt in (8, 16, 32):
+            ms, comp = time_layer(x, lp, ccfg.num_heads, cfg.layernorm_eps,
+                                  bt, attn_impl="packed")
+            row = {"seq": s, "block_b": bt, "impl": "packed",
+                   "ms_per_layer": round(ms, 4), "compile_s": round(comp, 1)}
             rows.append(row)
             log(row)
 
@@ -92,12 +112,18 @@ def main():
                    " (3 heads x 64, mlp 768)", "rows": rows}, fh, indent=1)
     # per-seq winner summary
     for s in sorted({r["seq"] for r in rows}):
-        sub = [r for r in rows if r["seq"] == s]
+        sub = [r for r in rows if r["seq"] == s and "ablate" not in r]
         best = min(sub, key=lambda r: r["ms_per_layer"])
-        base = next(r for r in sub if r["block_b"] == 8)
-        log(f"S={s}: best bt={best['block_b']} {best['ms_per_layer']:.3f} ms "
-            f"(bt=8: {base['ms_per_layer']:.3f} ms, "
-            f"{base['ms_per_layer'] / best['ms_per_layer']:.2f}x)")
+        base = next(r for r in sub
+                    if r["block_b"] == 8 and r["impl"] == "staged2")
+        attn = next((r for r in rows if r["seq"] == s
+                     and r.get("ablate") == "attn"), None)
+        attn_ms = (f", attn section {base['ms_per_layer'] - attn['ms_per_layer']:.3f} ms"
+                   if attn else "")
+        log(f"S={s}: best {best['impl']} bt={best['block_b']} "
+            f"{best['ms_per_layer']:.3f} ms "
+            f"(staged2 bt=8: {base['ms_per_layer']:.3f} ms, "
+            f"{base['ms_per_layer'] / best['ms_per_layer']:.2f}x{attn_ms})")
     print(json.dumps({"out": out, "rows": len(rows)}))
 
 

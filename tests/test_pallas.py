@@ -124,7 +124,8 @@ def test_differentiable_fused_layer_grads_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
 
 
-@pytest.mark.parametrize("attn_impl", ["unrolled", "batched", "staged", "staged2"])
+@pytest.mark.parametrize("attn_impl",
+                         ["unrolled", "batched", "staged", "staged2", "packed"])
 @pytest.mark.parametrize("masked", [False, True])
 def test_fused_layer_attn_impls_match_reference(attn_impl, masked):
     """Both megakernel attention implementations match the jnp layer."""

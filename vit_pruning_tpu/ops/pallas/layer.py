@@ -181,6 +181,46 @@ def _kernel(
                 ctx_ref[rows, pl.ds(head * hd, hd)] = jnp.dot(
                     p_bh, v, preferred_element_type=jnp.float32
                 ).astype(ctx_ref.dtype)
+    elif attn_impl == "packed":
+        # Cross-image packed attention for SHORT sequences (the composed/
+        # ultra presets' live lengths, 17-66 + CLS): at S_pad << 128 each
+        # per-(image, head) [S, S] dot lights up a few percent of the MXU
+        # tile. Packing the whole batch block into ONE [BT*S, BT*S]
+        # block-diagonal dot per head costs bt x the logits FLOPs but runs
+        # at near-full tile occupancy; the block-diagonal mask (same-image
+        # rows/cols only) keeps the semantics exactly those of per-image
+        # attention. Replaces the reference's ragged per-image loop
+        # (himanshu/model_utils.py:88-91) at the opposite extreme: one
+        # matmul for the whole block instead of one launch per image.
+        n_rows = bt * s
+        row_img = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_rows), 0) // s
+        col_img = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_rows), 1) // s
+        key_ok = row_img == col_img
+        if mask_ref is not None:
+            key_ok = key_ok & (mask_ref[:].reshape(1, n_rows) != 0)
+        else:
+            col_pos = jax.lax.broadcasted_iota(
+                jnp.int32, (1, n_rows), 1) % s
+            key_ok = key_ok & (col_pos < s_real)
+        ones_col = jnp.ones((n_rows, 1), dtype=qkv.dtype)
+        for head in range(h):
+            q = qkv[:, head * hd:(head + 1) * hd]
+            k = qkv[:, kw + head * hd:kw + (head + 1) * hd]
+            v = qkv[:, 2 * kw + head * hd:2 * kw + (head + 1) * hd]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            logits = jnp.where(key_ok, logits, NEG_INF)
+            p = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+            # staged2-style fused denominator: ride the PV matmul as an
+            # appended ones column, normalize with one reciprocal multiply
+            vv = jnp.concatenate([v, ones_col], axis=1)
+            out = jnp.dot(p.astype(qkv.dtype), vv,
+                          preferred_element_type=jnp.float32)
+            ctx_ref[:, pl.ds(head * hd, hd)] = (
+                out[:, :hd] * (1.0 / out[:, hd:hd + 1])
+            ).astype(ctx_ref.dtype)
     elif attn_impl == "batched":
         # head-batched attention: two batched dot_generals with (image, head)
         # folded into ONE batch dim (Mosaic's tpu.matmul supports exactly one)
