@@ -64,7 +64,35 @@ def time_layer(x, lp, num_heads, eps, block_b, iters=8,
     return float(np.median(times)) / INNER * 1e3, compile_s
 
 
+def measure(rows, out, x, lp, num_heads, eps, block_b, geometry,
+            attn_impl="staged2", ablate="none"):
+    """One guarded probe point: a config that overflows scoped VMEM (the
+    compiler rejects it at compile time) is recorded as oom=true instead of
+    killing the sweep (the r5 first run died at seq=99 packed bt=32,
+    107.3M > 100M scoped). Rows are flushed to disk after every point."""
+    row = {"geometry": geometry, "seq": int(x.shape[1]), "block_b": block_b,
+           "impl": attn_impl}
+    if ablate != "none":
+        row["ablate"] = ablate
+    try:
+        ms, comp = time_layer(x, lp, num_heads, eps, block_b,
+                              attn_impl=attn_impl, ablate=ablate)
+        row["ms_per_layer"] = round(ms, 4)
+        row["compile_s"] = round(comp, 1)
+    except Exception as e:  # noqa: BLE001 - jax wraps OOM as JaxRuntimeError
+        msg = str(e)
+        row["oom"] = "vmem" in msg.lower() or "memory" in msg.lower()
+        row["error"] = msg.splitlines()[0][:200]
+    rows.append(row)
+    log(row)
+    with open(out, "w") as fh:
+        json.dump({"batch": B, "inner": INNER, "rows": rows}, fh, indent=1)
+        fh.write("\n")
+
+
 def main():
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "short_seq_block_results.json")
     cfg = deit_small(num_labels=100)
     params = init_vit_params(jax.random.PRNGKey(0), cfg)
     # composed structure: 3/6 heads, 1/2 MLP channels (the preset geometry)
@@ -73,6 +101,10 @@ def main():
         [list(range(0, cfg.num_heads, 2))] * cfg.num_layers)
     bb = prune_mlp_channels(bb, [list(range(0, cfg.mlp_dim, 2))] * cfg.num_layers)
     lp = jax.tree.map(lambda a: a[0].astype(jnp.bfloat16), bb["layers"])
+    # full dense geometry (6 heads x 64, mlp 1536): the headline/token50
+    # serving rows run DENSE weights at S=99 after the 50% drop (and S=197 at
+    # layer 0) — a bt win there moves the north-star 1.85x number directly
+    dlp = jax.tree.map(lambda a: a[0].astype(jnp.bfloat16), params["layers"])
 
     rows = []
     # preset live lengths (incl CLS): ultra tail 17, ultra mid 33, composed
@@ -81,49 +113,46 @@ def main():
         x = jax.random.normal(jax.random.PRNGKey(1), (B, s, cfg.hidden_size),
                               jnp.bfloat16)
         for bt in (8, 16, 32, 64):
-            ms, comp = time_layer(x, lp, ccfg.num_heads, cfg.layernorm_eps, bt)
-            row = {"seq": s, "block_b": bt, "impl": "staged2",
-                   "ms_per_layer": round(ms, 4), "compile_s": round(comp, 1)}
-            rows.append(row)
-            log(row)
+            measure(rows, out, x, lp, ccfg.num_heads, cfg.layernorm_eps, bt,
+                    "composed")
         # where does the time go? 'attn' skips the logits/softmax/PV section
         # (QKV + O-proj + MLP remain): none - attn = the per-(image, head)
         # attention cost the packed impl attacks
-        ms, comp = time_layer(x, lp, ccfg.num_heads, cfg.layernorm_eps, 8,
-                              ablate="attn")
-        row = {"seq": s, "block_b": 8, "impl": "staged2", "ablate": "attn",
-               "ms_per_layer": round(ms, 4), "compile_s": round(comp, 1)}
-        rows.append(row)
-        log(row)
+        measure(rows, out, x, lp, ccfg.num_heads, cfg.layernorm_eps, 8,
+                "composed", ablate="attn")
         # cross-image packed block-diagonal attention (ONE [bt*S, bt*S] dot
         # per head instead of bt underfilled [S, S] dots)
         for bt in (8, 16, 32):
-            ms, comp = time_layer(x, lp, ccfg.num_heads, cfg.layernorm_eps,
-                                  bt, attn_impl="packed")
-            row = {"seq": s, "block_b": bt, "impl": "packed",
-                   "ms_per_layer": round(ms, 4), "compile_s": round(comp, 1)}
-            rows.append(row)
-            log(row)
+            measure(rows, out, x, lp, ccfg.num_heads, cfg.layernorm_eps, bt,
+                    "composed", attn_impl="packed")
+    for s in (99, 197):
+        x = jax.random.normal(jax.random.PRNGKey(2), (B, s, cfg.hidden_size),
+                              jnp.bfloat16)
+        for bt in (8, 16, 32):
+            measure(rows, out, x, dlp, cfg.num_heads, cfg.layernorm_eps, bt,
+                    "dense")
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "short_seq_block_results.json")
-    with open(out, "w") as fh:
-        json.dump({"batch": B, "inner": INNER, "geometry": "deit_small composed"
-                   " (3 heads x 64, mlp 768)", "rows": rows}, fh, indent=1)
-    # per-seq winner summary
-    for s in sorted({r["seq"] for r in rows}):
-        sub = [r for r in rows if r["seq"] == s and "ablate" not in r]
-        best = min(sub, key=lambda r: r["ms_per_layer"])
-        base = next(r for r in sub
-                    if r["block_b"] == 8 and r["impl"] == "staged2")
-        attn = next((r for r in rows if r["seq"] == s
-                     and r.get("ablate") == "attn"), None)
-        attn_ms = (f", attn section {base['ms_per_layer'] - attn['ms_per_layer']:.3f} ms"
-                   if attn else "")
-        log(f"S={s}: best {best['impl']} bt={best['block_b']} "
-            f"{best['ms_per_layer']:.3f} ms "
-            f"(staged2 bt=8: {base['ms_per_layer']:.3f} ms, "
-            f"{base['ms_per_layer'] / best['ms_per_layer']:.2f}x{attn_ms})")
+    # per-(geometry, seq) winner summary
+    for g in ("composed", "dense"):
+        for s in sorted({r["seq"] for r in rows if r["geometry"] == g}):
+            sub = [r for r in rows
+                   if r["seq"] == s and r["geometry"] == g
+                   and "ablate" not in r and "ms_per_layer" in r]
+            if not sub:
+                continue
+            best = min(sub, key=lambda r: r["ms_per_layer"])
+            base = next(r for r in sub
+                        if r["block_b"] == 8 and r["impl"] == "staged2")
+            attn = next((r for r in rows if r["seq"] == s
+                         and r["geometry"] == g
+                         and r.get("ablate") == "attn"), None)
+            attn_ms = (f", attn section "
+                       f"{base['ms_per_layer'] - attn['ms_per_layer']:.3f} ms"
+                       if attn else "")
+            log(f"{g} S={s}: best {best['impl']} bt={best['block_b']} "
+                f"{best['ms_per_layer']:.3f} ms "
+                f"(staged2 bt=8: {base['ms_per_layer']:.3f} ms, "
+                f"{base['ms_per_layer'] / best['ms_per_layer']:.2f}x{attn_ms})")
     print(json.dumps({"out": out, "rows": len(rows)}))
 
 
