@@ -541,3 +541,57 @@ def test_merge_dropped_end_to_end_progressive():
     np.testing.assert_array_equal(np.asarray(on["keep_masks"][0]),
                                   np.asarray(off["keep_masks"][0]))
     assert float(jnp.abs(on["logits"] - off["logits"]).max()) > 1e-6
+
+
+@pytest.mark.parametrize("loss,grad_check", [
+    ("bce_oracle", True),
+    ("mse_attention", True),
+    ("mse_cosine", False),
+])
+def test_hoisted_oracle_targets_match_in_layer_path(monkeypatch, loss,
+                                                    grad_check):
+    """The r5 hoist (teacher signals computed OUTSIDE the remat/AD scope,
+    _hoisted_oracle_targets) must be semantically invisible: identical
+    pred_loss / similarity labels / confusion AND identical 'both'-loss
+    gradients vs the pre-r5 in-layer path."""
+    from vit_pruning_tpu.models import pruned_vit as pv
+
+    pcfg = PruneConfig(mode="mask", predictor="cls_mlp", loss=loss, top_k=6)
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (2, 3, CFG.image_size, CFG.image_size))
+
+    def forward(p):
+        return pruned_vit_forward(p, x, CFG, pcfg, train=True,
+                                  rng=jax.random.PRNGKey(2))
+
+    def both_loss(p):
+        out = forward(p)
+        one_hot = jnp.zeros((2, CFG.num_labels)).at[:, 0].set(1.0)
+        ce = -jnp.mean(jnp.sum(
+            jax.nn.log_softmax(out["logits"]) * one_hot, axis=-1))
+        return ce + out["aux"]["pred_loss"].mean()
+
+    assert pv._hoistable_oracle(pcfg)
+    out_h = forward(params)
+    g_h = jax.grad(both_loss)(params) if grad_check else None
+
+    monkeypatch.setattr(pv, "_hoistable_oracle", lambda _pcfg: False)
+    out_i = forward(params)
+    g_i = jax.grad(both_loss)(params) if grad_check else None
+
+    np.testing.assert_allclose(np.asarray(out_h["aux"]["pred_loss"]),
+                               np.asarray(out_i["aux"]["pred_loss"]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out_h["keep_masks"]),
+                                  np.asarray(out_i["keep_masks"]))
+    np.testing.assert_array_equal(np.asarray(out_h["aux"]["confusion"]),
+                                  np.asarray(out_i["aux"]["confusion"]))
+    if grad_check:
+        for (ph, lh), (pi, li) in zip(
+                jax.tree_util.tree_flatten_with_path(g_h)[0],
+                jax.tree_util.tree_flatten_with_path(g_i)[0]):
+            assert ph == pi
+            np.testing.assert_allclose(np.asarray(lh), np.asarray(li),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=str(ph))

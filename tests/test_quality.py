@@ -335,3 +335,71 @@ def test_measure_preset_merge_ablation_records_both_variants():
     # merge_gain orientation is identical in both runs
     assert extra_m["merge_gain"] == pytest.approx(extra_u["merge_gain"], abs=1e-4)
     assert extra_m["merge_gain"] == pytest.approx(acc_m - acc_u, abs=1e-4)
+
+
+def test_structured_preset_inherits_trained_predictor(monkeypatch):
+    """Composed/ultra presets INHERIT the headline's trained predictor
+    instead of re-training fresh heads at the deep schedule (r5: fresh
+    re-training collapses attention-mass capture 0.97->0.42 on the
+    distributed task). The inherited weights must ride through structural
+    pruning untouched, the predictor phase must be skipped, and
+    --fresh_structured_predictor must restore the old recipe."""
+    from types import SimpleNamespace
+
+    import quality
+
+    pcfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                       loss="mse_attention", top_k=8,
+                       keep_schedule=(8, 4, 4, 2))
+    base = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, pcfg)
+    # sentinel: the trained predictor's weights are all 7.0
+    base["predictor"] = jax.tree.map(
+        lambda a: jnp.full_like(a, 7.0), base["predictor"])
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 16, 16))
+    y = jnp.zeros((8,), jnp.int32)
+    batches = [{"pixel_values": x, "labels": y}]
+
+    train_calls = []
+
+    def fake_train(params, train_b, test_b, config, pc, *, loss_type,
+                   **kw):
+        train_calls.append(loss_type)
+        return params
+
+    captured = {}
+
+    def fake_measure(params, eval_cfg, pc, train_b, test_b, args, log,
+                     structured):
+        captured["params"] = params
+        return (0.9, 0.9, 0.9, 0.5, 0.9, params, {})
+
+    import vit_pruning_tpu.train.harness as harness
+
+    monkeypatch.setattr(harness, "train", fake_train)
+    monkeypatch.setattr(quality, "measure_preset", fake_measure)
+
+    args = SimpleNamespace(bf16=False, gate_model="gate", epochs=2,
+                           pred_epochs=2, pred_lr=3e-3, recover_epochs=1,
+                           fresh_structured_predictor=False)
+    quality.train_and_eval(CFG, pcfg, batches, batches, args,
+                           lambda *a: None, base_params=base,
+                           structured=True, teacher=None)
+    # predictor phase skipped: only the recovery fine-tune trains
+    assert train_calls == ["classification"]
+    pred = captured["params"]["predictor"]
+    assert all(bool(jnp.all(l == 7.0)) for l in jax.tree.leaves(pred)), \
+        "inherited predictor weights were re-initialized"
+    # the backbone WAS structurally pruned (half heads / half channels)
+    q_w = captured["params"]["backbone"]["layers"]["attn"]["q"]["w"]
+    assert q_w.shape[-1] == CFG.hidden_size // 2
+
+    # the escape hatch restores the old fresh-heads recipe
+    train_calls.clear()
+    args.fresh_structured_predictor = True
+    quality.train_and_eval(CFG, pcfg, batches, batches, args,
+                           lambda *a: None, base_params=base,
+                           structured=True, teacher=None)
+    assert train_calls == ["cosine", "classification"]
+    pred = captured["params"]["predictor"]
+    assert not all(bool(jnp.all(l == 7.0)) for l in jax.tree.leaves(pred))
