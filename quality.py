@@ -328,6 +328,17 @@ def attention_topk_agreement(params, test_b, config, pcfg):
             by_layer)
 
 
+def _same_tree_shapes(a, b) -> bool:
+    """True when two pytrees have identical structure and leaf shapes (the
+    predictor-inheritance precondition in train_and_eval)."""
+    if jax.tree.structure(a) != jax.tree.structure(b):
+        return False
+    return all(
+        getattr(x, "shape", None) == getattr(y, "shape", None)
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
 def margin_sweep(params, dense_acc, config, test_b, args, log):
     """Serve the TRAINED headline weights through progressively deeper
     schedules until the delta gate fails (VERDICT r3 #2): every preset
@@ -416,13 +427,42 @@ def train_and_eval(config, pcfg, train_b, test_b, args, log,
 
         compute_dtype = jnp.bfloat16
     eval_cfg = config
+    inherit_pred = False
     if base_params is not None:
         params = jax.tree.map(lambda a: a.copy(), base_params)
         if pcfg.predictor != "none":
-            # fresh predictor heads over the inherited backbone
-            # (hi_main.py:130-137 strict=False load: heads start random)
             fresh = init_pruned_vit_params(jax.random.PRNGKey(42), config, pcfg)
-            params = {**fresh, "backbone": params["backbone"]}
+            inherited = base_params.get("predictor")
+            if (structured and inherited is not None
+                    and not getattr(args, "fresh_structured_predictor", False)
+                    and _same_tree_shapes(inherited, fresh["predictor"])):
+                # INHERIT the base's trained predictor for structured
+                # presets instead of re-training fresh heads at the deep
+                # schedule. Measured on the distributed task (DeiT-S @224,
+                # r5, quality_results.json::deit_small_224_distributed):
+                # fresh re-training at composed/ultra depth collapses
+                # attention-mass capture (min 0.42/0.43) and serves
+                # 0.776/0.714; inheriting the headline's trained predictor
+                # serves 0.857/0.804 at the same depths (+8.1/+9.0 points)
+                # — the deep-schedule mse_attention signal (CLS attention
+                # of a just-recovered structured backbone) is a worse
+                # teacher than the converged dense model's. Predictor heads
+                # read token content only (input dim D is unchanged by
+                # head/channel pruning), so the weights transfer as-is; the
+                # recovery fine-tune then adapts the backbone UNDER the
+                # trained masks (the reference's phase-2 order,
+                # hi_main.py:167-168).
+                params = {**fresh, "backbone": params["backbone"],
+                          "predictor": jax.tree.map(lambda a: a.copy(),
+                                                    inherited)}
+                inherit_pred = True
+                log("structured preset: inheriting the trained predictor "
+                    "(predictor re-training phase skipped; "
+                    "--fresh_structured_predictor restores the old recipe)")
+            else:
+                # fresh predictor heads over the inherited backbone
+                # (hi_main.py:130-137 strict=False load: heads start random)
+                params = {**fresh, "backbone": params["backbone"]}
     else:
         params = init_pruned_vit_params(jax.random.PRNGKey(42), config, pcfg)
     if structured:
@@ -480,7 +520,7 @@ def train_and_eval(config, pcfg, train_b, test_b, args, log,
             full_testing=False, log=log, compute_dtype=compute_dtype,
             clip_norm=clip,
         )
-    if pcfg.predictor != "none":
+    if pcfg.predictor != "none" and not inherit_pred:
         # phase 1: calibrate the oracle on the trained backbone, train the
         # predictor only (reference 'cosine' phase, hi_main.py:164-165).
         # Keep the BEST-serving-accuracy epoch, not the last (the reference
@@ -693,6 +733,15 @@ def main(argv=None):
                     "the accuracy gate FAILS; records the delta-vs-depth "
                     "curve as results['gate_margin'] (VERDICT r3 #2 — "
                     "proves the gate can fail at this scale)")
+    ap.add_argument("--fresh_structured_predictor", action="store_true",
+                    help="structured presets re-train fresh predictor heads "
+                    "at the deep schedule (the pre-r5 recipe) instead of "
+                    "inheriting the headline's trained predictor. Measured "
+                    "on the distributed task (DeiT-S @224): fresh "
+                    "re-training serves composed/ultra at 0.776/0.714 vs "
+                    "dense 0.903; the inherited predictor serves 0.857/"
+                    "0.804 at the same depths "
+                    "(quality_results.json::deit_small_224_distributed)")
     ap.add_argument("--skip_tol", type=float, default=0.08)
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--pred_epochs", type=int, default=30)
