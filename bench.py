@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -160,6 +161,16 @@ def main():
                          "config, VERDICT r3 #1) against the same-run dense; "
                          "matrix to stderr + token50_sweep.json, best-"
                          "candidate JSON on stdout")
+    ap.add_argument("--deep_drop_sweep", action="store_true",
+                    help="measure the throughput of EXACTLY the schedules "
+                         "the quality.py --margin_sweep gates (single_drop "
+                         "top-k ladder + m-deep progressive family, dense "
+                         "weights, no structural pruning) so every committed "
+                         "accuracy row in quality_results.json::*.gate_margin "
+                         "has a paired img/s row: the throughput-vs-accuracy "
+                         "frontier on the task that charges for skipping. "
+                         "matrix to stderr + deep_drop_sweep.json, deepest-"
+                         "passing-config JSON on stdout")
     ap.add_argument("--bs_sweep", action="store_true",
                     help="batch-size throughput sweep at --model: {dense, "
                          "50%% token skip, composed, ultra} x --bs_list. "
@@ -399,6 +410,102 @@ def main():
         best = max(rows, key=lambda r: r["img_per_sec_chip"])
         print(json.dumps({
             "metric": f"{args.model}_token50_best_{best['candidate']}",
+            "value": best["img_per_sec_chip"], "unit": "img/s/chip",
+            "vs_baseline": best["vs_dense"],
+        }))
+        return
+
+    if args.deep_drop_sweep:
+        # Throughput for EXACTLY the schedules quality.margin_sweep gates
+        # (same families, same ladder, dense weights): joined with the
+        # committed gate_margin accuracy rows, this is the throughput-vs-
+        # accuracy frontier on a task that charges for skipping — the
+        # distributed-task margin shows single drops pass at depths where
+        # the composed-shape deep re-decides fail (the cost is the schedule
+        # SHAPE, not the skip).
+        from vit_pruning_tpu.configs import schedule_live
+
+        config = models[args.model](num_labels=100)
+        n, L = config.num_patches, config.num_layers
+        params = init_pruned_vit_params(
+            jax.random.PRNGKey(0), config,
+            PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                        loss="mse_attention", top_k=n // 2))
+        params = jax.tree.map(lambda a: a.astype(dtype), params)
+        x = jax.random.normal(jax.random.PRNGKey(1),
+                              (args.batch, 3, 224, 224), dtype)
+        dense = amortized(lambda p, v: vit_forward(p, v, config)["logits"],
+                          args.inner)
+        t_dense = timeit(dense, (params["backbone"], x), args.iters) / args.inner
+        log(f"dense: {args.batch / t_dense:.1f} img/s ({t_dense * 1e3:.2f} ms)")
+        # the two margin_sweep families (quality.py::margin_sweep — keep the
+        # ladders in lockstep so rows join 1:1 on (family, top_k/schedule))
+        cases = []
+        for frac in (0.5, 0.375, 0.25, 0.1875, 0.125, 0.09,
+                     0.0625, 0.045, 0.03, 0.015):
+            k = max(1, int(round(n * frac)))
+            cases.append(("single_drop", {"top_k": k},
+                          (k,) + (0,) * (L - 1),
+                          round(1.0 - (k + 1) / (n + 1), 4)))
+        for m in (1, 2, 4, 8):
+            sched = tuple(
+                [max(1, n // (2 * m))] + [max(1, n // (6 * m))] * min(4, L - 1)
+                + [max(1, n // (12 * m))] * max(0, L - 5))
+            live = [v - 1 for v in schedule_live(sched, n)]
+            cases.append(("progressive", {"schedule": list(sched)}, sched,
+                          round(1.0 - sum(live) / len(live) / n, 4)))
+        # join accuracy in from the committed gate (when present): per-row
+        # top1/delta/gate_pass make the artifact self-contained
+        acc_by_key = {}
+        gate_section = None
+        if os.path.exists("quality_results.json"):
+            with open("quality_results.json") as fh:
+                qr = json.load(fh)
+            for name, sec in qr.items():
+                if (isinstance(sec, dict) and sec.get("gate_margin")
+                        and sec.get("gate_model") == args.model):
+                    gate_section = name
+                    for r in sec["gate_margin"]["rows"]:
+                        key = (r["family"],
+                               r.get("top_k") or tuple(r.get("schedule", ())))
+                        acc_by_key[key] = r
+        rows = []
+        for family, ident, sched, skip in cases:
+            scfg = PruneConfig(mode="topk_prog", predictor="cls_mlp",
+                               loss="mse_attention", top_k=sched[0],
+                               keep_schedule=sched)
+            fn = amortized(
+                lambda p, v, _c=scfg: progressive_topk_forward(
+                    p, v, config, _c, logits_only=True)["logits"], args.inner)
+            t = timeit(fn, (params, x), args.iters) / args.inner
+            live = [v - 1 for v in schedule_live(sched, n)]
+            ips = args.batch / t
+            row = {"family": family, **ident, "skip": skip,
+                   "mean_live_patches": round(sum(live) / len(live), 2),
+                   "img_per_sec_chip": round(ips, 1),
+                   "ms_per_batch": round(t * 1e3, 2),
+                   "vs_dense": round(ips * t_dense / args.batch, 3),
+                   **mfu_fields("deep_drop", ips,
+                                flops_per_image(config, scfg), args.dtype)}
+            acc = acc_by_key.get(
+                (family, ident.get("top_k") or tuple(ident["schedule"])))
+            if acc:
+                row.update(top1=acc["top1"], delta=acc["delta"],
+                           gate_pass=acc["pass"])
+            rows.append(row)
+            log(row)
+        with open("deep_drop_sweep.json", "w") as fh:
+            json.dump({"model": args.model, "batch": args.batch,
+                       "dtype": args.dtype,
+                       "dense_img_per_sec": round(args.batch / t_dense, 1),
+                       "accuracy_section": gate_section,
+                       "rows": rows}, fh, indent=1)
+            fh.write("\n")
+        gated = [r for r in rows if r.get("gate_pass")]
+        best = (max(gated, key=lambda r: r["img_per_sec_chip"]) if gated
+                else max(rows, key=lambda r: r["img_per_sec_chip"]))
+        print(json.dumps({
+            "metric": f"{args.model}_deepest_gated_drop_k{best.get('top_k', 0)}",
             "value": best["img_per_sec_chip"], "unit": "img/s/chip",
             "vs_baseline": best["vs_dense"],
         }))
