@@ -595,3 +595,45 @@ def test_hoisted_oracle_targets_match_in_layer_path(monkeypatch, loss,
             np.testing.assert_allclose(np.asarray(lh), np.asarray(li),
                                        rtol=1e-5, atol=1e-6,
                                        err_msg=str(ph))
+
+
+def test_mode_none_scan_fast_path_matches_unrolled():
+    """mode='none' routes through vit_forward's scanned encoder (r5: the
+    unrolled dense train graph at ViT-L crashed the remote compiler). It
+    must be output-identical — incl. synthesized masks/scores/aux — to the
+    unrolled inactive-layer path (mode='mask' with active_layers=()), and
+    gradient-identical under remat."""
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (2, 3, CFG.image_size, CFG.image_size))
+    dense_cfg = PruneConfig(mode="none", predictor="none")
+    unrolled_cfg = PruneConfig(mode="mask", predictor="none",
+                               active_layers=())
+    params = init_pruned_vit_params(jax.random.PRNGKey(0), CFG, dense_cfg)
+
+    fast = pruned_vit_forward(params, x, CFG, dense_cfg, compute_oracle=True)
+    slow = pruned_vit_forward(params, x, CFG, unrolled_cfg,
+                              compute_oracle=True)
+    np.testing.assert_allclose(np.asarray(fast["logits"]),
+                               np.asarray(slow["logits"]), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(fast["keep_masks"]),
+                                  np.asarray(slow["keep_masks"]))
+    np.testing.assert_array_equal(np.asarray(fast["scores"]),
+                                  np.asarray(slow["scores"]))
+    for k in ("pred_loss", "similarity", "oracle_keep", "confusion"):
+        np.testing.assert_array_equal(np.asarray(fast["aux"][k]),
+                                      np.asarray(slow["aux"][k]))
+
+    def loss(p, pcfg, remat):
+        out = pruned_vit_forward(p, x, CFG, pcfg, train=True, oracle=False,
+                                 remat=remat)
+        return jnp.mean(out["logits"] ** 2)
+
+    g_fast = jax.grad(lambda p: loss(p, dense_cfg, True))(params)
+    g_slow = jax.grad(lambda p: loss(p, unrolled_cfg, True))(params)
+    for (pf, lf), (ps, ls) in zip(
+            jax.tree_util.tree_flatten_with_path(g_fast)[0],
+            jax.tree_util.tree_flatten_with_path(g_slow)[0]):
+        assert pf == ps
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(ls),
+                                   rtol=2e-5, atol=2e-5, err_msg=str(pf))
