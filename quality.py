@@ -426,6 +426,13 @@ def train_and_eval(config, pcfg, train_b, test_b, args, log,
         import jax.numpy as jnp
 
         compute_dtype = jnp.bfloat16
+    # rematerialized training for the wide gate models: ViT-L @224 bs128
+    # bf16 without remat needs 18.4G of the v5e's 15.75G HBM (24 layers of
+    # [B,197,4096] MLP activations held for the backward); with remat the
+    # residuals are per-layer inputs only and it fits with room to spare
+    remat = getattr(args, "remat", "auto")
+    use_remat = remat == "on" or (
+        remat == "auto" and args.gate_model in ("vit_large", "vit_huge"))
     eval_cfg = config
     inherit_pred = False
     if base_params is not None:
@@ -518,7 +525,7 @@ def train_and_eval(config, pcfg, train_b, test_b, args, log,
             params, train_b, test_b, eval_cfg, pcfg,
             num_epochs=args.epochs, loss_type="classification", lr=lr_dense,
             full_testing=False, log=log, compute_dtype=compute_dtype,
-            clip_norm=clip,
+            clip_norm=clip, remat=use_remat,
         )
     if pcfg.predictor != "none" and not inherit_pred:
         # phase 1: calibrate the oracle on the trained backbone, train the
@@ -549,7 +556,7 @@ def train_and_eval(config, pcfg, train_b, test_b, args, log,
             params, train_b, test_b, eval_cfg, pcfg,
             num_epochs=args.pred_epochs, loss_type="cosine", lr=args.pred_lr,
             full_testing=False, log=log, best=best,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, remat=use_remat,
         )
         # Fall back to the best epoch only on SEVERE degradation: the
         # fully-trained (last-epoch) predictor has the best oracle
@@ -581,7 +588,7 @@ def train_and_eval(config, pcfg, train_b, test_b, args, log,
             loss_type="classification",
             lr=1e-4,
             full_testing=False, log=log, distill=distill, best=best,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, remat=use_remat,
         )
         if best.best_params is not None:
             params = best.best_params
@@ -742,6 +749,12 @@ def main(argv=None):
                     "dense 0.903; the inherited predictor serves 0.857/"
                     "0.804 at the same depths "
                     "(quality_results.json::deit_small_224_distributed)")
+    ap.add_argument("--remat", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="rematerialized (gradient-checkpointed) training "
+                    "phases: 'auto' enables it for the wide gate models "
+                    "(vit_large/vit_huge, which OOM the v5e's 15.75G HBM "
+                    "without it at bs128 @224), 'on'/'off' force")
     ap.add_argument("--skip_tol", type=float, default=0.08)
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--pred_epochs", type=int, default=30)

@@ -45,7 +45,13 @@ from vit_pruning_tpu.models.predictors import (
     init_predictor_params,
     init_updatenet_params,
 )
-from vit_pruning_tpu.models.vit import embed, init_vit_params, layer_norm, vit_layer
+from vit_pruning_tpu.models.vit import (
+    embed,
+    init_vit_params,
+    layer_norm,
+    vit_forward,
+    vit_layer,
+)
 from vit_pruning_tpu.ops.masking import (
     add_cls_keep,
     compact_indices,
@@ -565,6 +571,41 @@ def pruned_vit_forward(
         from vit_pruning_tpu.ops.dispatch import serving_quant
 
         quant = serving_quant()
+    if pcfg.mode == "none" and not return_layer_inputs:
+        # Dense config: route through vit_forward's lax.scan encoder — ONE
+        # compiled layer body instead of num_layers unrolled copies. This
+        # is load-bearing for compile SIZE, not just speed: the unrolled
+        # ViT-L train graph (24 remat'd layers + the KD teacher, itself a
+        # second unrolled dense forward) reproducibly crashed the relay
+        # compile helper after ~25 min (broken pipe, r5) — with the teacher
+        # and the dense baseline scanned, the programs fit. Output fields
+        # are synthesized exactly as the unrolled inactive-layer path
+        # does (equivalence test: tests/test_pruning.py).
+        dense = vit_forward(params["backbone"], pixel_values, config,
+                            use_pallas=use_pallas, quant=quant, remat=remat)
+        x = dense["last_hidden"]
+        b, s = x.shape[0], x.shape[1]
+        L, n = config.num_layers, s - 1
+        out = {
+            "logits": dense["logits"],
+            "cls": dense["cls"],
+            "last_hidden": x,
+            "keep_masks": jnp.ones((L, b, s), bool),
+            "scores": jnp.ones((L, b, n), x.dtype),
+        }
+        if need_oracle:
+            aux = dict(
+                pred_loss=jnp.zeros((L,)),
+                similarity=jnp.zeros((L, b, n), x.dtype),
+                oracle_keep=jnp.ones((L, b, n), bool),
+                confusion=jnp.zeros((L, 2, 2), jnp.int32),
+            )
+            if pcfg.loss == "mse_attention":
+                aux["attn_target"] = jnp.zeros((L, b, n), x.dtype)
+            elif pcfg.loss == "mse_cosine":
+                aux["cos_target"] = jnp.ones((L, b, n), x.dtype)
+            out["aux"] = aux
+        return out
     if pcfg.mode == "topk_prog" and not (train or need_oracle):
         # serving path: progressive compaction (no oracle instrumentation)
         return progressive_topk_forward(
@@ -604,7 +645,15 @@ def pruned_vit_forward(
             x_teacher = t_out
         if not _is_active(pcfg, i):
             x_in = x
-            x = vit_layer(x, lp, config, use_pallas=use_pallas, quant=quant)
+            dense_fn = lambda x_, lp_: vit_layer(  # noqa: E731
+                x_, lp_, config, use_pallas=use_pallas, quant=quant)
+            if remat:
+                # inactive layers (and the whole mode='none' dense baseline)
+                # must honor remat too: a ViT-L @224 bs128 bf16 train step
+                # holds 24 x [B,197,4096] MLP activations without it —
+                # 18.4G of the v5e's 15.75G HBM (measured OOM, r5)
+                dense_fn = jax.checkpoint(dense_fn)
+            x = dense_fn(x, lp)
             if skip_vec is not None:
                 # M8: "skip the next layer" means the physically next layer,
                 # whether or not it is an active pruning layer — consume the

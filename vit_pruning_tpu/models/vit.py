@@ -176,6 +176,7 @@ def vit_forward(
     output_hidden_states: bool = False,
     use_pallas: Optional[bool] = None,
     quant: Optional[str] = None,
+    remat: bool = False,
 ):
     """Dense forward. Returns dict(logits, cls, last_hidden[, hidden_states]).
 
@@ -183,6 +184,9 @@ def vit_forward(
     himanshu/model_utils.py:220).
     use_pallas: None = auto (Pallas TPU kernels for inference on TPU).
     quant: serving quantization mode; None = read the global at trace time.
+    remat: checkpoint the scanned layer body (training memory lever; the
+    head_mask/hidden-states python-loop branch is inference-only and
+    ignores it).
     """
     if use_pallas is None:
         from vit_pruning_tpu.ops.dispatch import use_pallas as _resolve
@@ -225,6 +229,12 @@ def vit_forward(
                 return vit_layer(carry, layer_params, config, use_pallas=use_pallas,
                                  quant=quant), None
 
+            if remat:
+                # one checkpointed scan body instead of num_layers unrolled
+                # remat'd copies: same memory behavior, ~L x smaller HLO —
+                # the unrolled ViT-L train graph reproducibly crashed the
+                # remote compile helper (r5, broken pipe after ~25 min)
+                body = jax.checkpoint(body)
             x, _ = jax.lax.scan(body, x, params["layers"])
 
     x = layer_norm(x, params["ln_f"], config.layernorm_eps)
