@@ -300,18 +300,29 @@ def main():
             ap.error(f"--full_models: unknown model(s) {bad or ['<empty>']}; "
                      f"valid names: {', '.join(sorted(models))}")
         rows = []
+
+        def publish():
+            # atomic rewrite after EVERY row: a killed run (the ViT-H
+            # pruned-config compiles are 5-8 min each) keeps its measured
+            # rows instead of losing the whole sweep (r5; the r4 sweep died
+            # at row 14/25 and left nothing)
+            tmp = "bench_full.json.tmp"
+            with open(tmp, "w") as fh:
+                json.dump(rows, fh, indent=1)
+                fh.write("\n")
+            os.replace(tmp, "bench_full.json")
+
         for mname, skip in itertools.product(full_models, [0.0, 0.25, 0.5]):
             row = measure(mname, skip, args.mode)
             rows.append(row)
             log(row)
+            publish()
         for mname in full_models:
             for preset in ("composed", "ultra"):
                 row = measure(mname, 0.0, args.mode, composed=True, preset=preset)
                 rows.append(row)
                 log(row)
-        with open("bench_full.json", "w") as fh:
-            json.dump(rows, fh, indent=1)
-            fh.write("\n")
+                publish()
         dense = next(r for r in rows if r["model"] == "deit_small" and r["skip"] == 0.0)
         half = next(r for r in rows if r["model"] == "deit_small" and r["skip"] == 0.5)
         print(json.dumps({

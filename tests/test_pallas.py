@@ -313,6 +313,37 @@ def test_fused_cls_logits_matches_reference():
                                atol=2e-5, rtol=1e-4)
 
 
+def test_fused_cls_logits_wide_model_block_promotion():
+    """At d>=1280 _auto_block_b drops to bt=4 (VMEM sizing for the FULL
+    layer kernel), but a [4, labels] logits block violates the Pallas
+    sublane rule (second-to-last block dim must be a multiple of 8 or equal
+    b) — this crashed the ViT-H bench_full rows at b=512 (r5). The CLS
+    kernel promotes bt back to 8; this pins the numerics at exactly the
+    promotion geometry (b > 8 > auto bt, d=1280)."""
+    from dataclasses import replace
+
+    from vit_pruning_tpu.configs import vit_huge
+    from vit_pruning_tpu.models.vit import init_vit_params, layer_norm, vit_layer
+    from vit_pruning_tpu.ops.pallas.layer import _auto_block_b, fused_vit_layer_cls_logits
+
+    cfg = replace(vit_huge(num_labels=10), num_layers=1)
+    assert _auto_block_b(16, cfg.hidden_size, 2) < 8  # the crash precondition
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    lp = jax.tree.map(lambda a: a[-1], params["layers"])
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 9, cfg.hidden_size))
+
+    y = vit_layer(x, lp, cfg, use_pallas=False, quant="none")
+    yn = layer_norm(y, params["ln_f"], cfg.layernorm_eps)
+    ref = yn[:, 0] @ params["head"]["w"] + params["head"]["b"]
+
+    got = fused_vit_layer_cls_logits(
+        x, lp, params["ln_f"], params["head"], cfg.num_heads,
+        eps=cfg.layernorm_eps, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-3)
+
+
 def test_fused_embed_f_matches_reference():
     """Float fused patch embed == models.vit.embed (projection + pos + CLS)."""
     from vit_pruning_tpu.configs import vit_tiny

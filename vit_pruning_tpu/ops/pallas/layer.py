@@ -586,6 +586,13 @@ def fused_vit_layer_cls_logits(
         bt = min(block_b, b)
         while b % bt:
             bt -= 1
+    # Sublane rule: the [bt, labels] logits block's second-to-last dim must
+    # be a multiple of 8 or equal b. _auto_block_b returns 4 at d>=1280 (VMEM
+    # sizing for the FULL layer kernel's [bt*h*s, s] attention scratch); this
+    # kernel has no such scratch (CLS-only Q/attn/MLP, ~45MB at ViT-H bt=8),
+    # so promote rather than crash (bench_full ViT-H rows, r5).
+    if bt % 8 and bt != b:
+        bt = 8 if b % 8 == 0 else b
 
     if s_pad != s:
         x = jnp.pad(x, [(0, 0), (0, s_pad - s), (0, 0)])
